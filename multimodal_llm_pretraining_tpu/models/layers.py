@@ -1,0 +1,176 @@
+"""Shared flax building blocks for the model zoo.
+
+The reference delegates architecture to HuggingFace transformers; here each
+family is built from these primitives. Design rules (TPU-first):
+
+- all matmuls sized for the MXU (fused QKV, big Dense), bf16-friendly
+- layer stacks via ``nn.scan`` (one trace per block -> fast XLA compiles)
+- activation checkpointing via ``nn.remat`` around the scanned block, the
+  ``jax.checkpoint`` analog of HF ``gradient_checkpointing`` (reference:
+  ``src/train.py:112``, manual ConvNeXt graft ``src/models/convnext.py:118-149``)
+- attention through ``ops.attention.dot_product_attention`` so the
+  sdpa/eager custom-kernel toggle (``src/models/pythia.py:18-21``) maps to
+  pallas/xla/naive
+"""
+
+from typing import Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import AttnImpl, dot_product_attention
+
+Dtype = jnp.dtype
+
+
+# ------------------------------------------------------------------ rotary
+
+
+def rotary_angles(positions: jax.Array, rotary_dim: int, base: float = 10000.0, scaling: Callable | None = None):
+    inv_freq = 1.0 / (base ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32) / rotary_dim))
+    if scaling is not None:
+        inv_freq = scaling(inv_freq)
+    freqs = jnp.einsum("s,d->sd", positions.astype(jnp.float32), inv_freq)
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
+def apply_rotary(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Rotate the first ``2 * cos.shape[-1]`` head dims (GPTNeoX/Llama
+    rotate-half convention). x: [B, H, S, D]."""
+    rot = cos.shape[-1] * 2
+    x_rot, x_pass = x[..., :rot], x[..., rot:]
+    x1, x2 = x_rot[..., : rot // 2], x_rot[..., rot // 2 :]
+    cos = cos[None, None, :, :]
+    sin = sin[None, None, :, :]
+    out1 = x1 * cos - x2 * sin
+    out2 = x2 * cos + x1 * sin
+    x_rot = jnp.concatenate([out1, out2], axis=-1)
+    if x_pass.shape[-1]:
+        return jnp.concatenate([x_rot, x_pass], axis=-1).astype(x.dtype)
+    return x_rot.astype(x.dtype)
+
+
+def llama3_rope_scaling(factor=32.0, low_freq_factor=1.0, high_freq_factor=4.0, original_max_position=8192):
+    """Llama-3.x rope frequency scaling."""
+
+    def scale(inv_freq):
+        wavelen = 2 * jnp.pi / inv_freq
+        low_wl = original_max_position / low_freq_factor
+        high_wl = original_max_position / high_freq_factor
+        smooth = (original_max_position / wavelen - low_freq_factor) / (high_freq_factor - low_freq_factor)
+        smooth = jnp.clip(smooth, 0.0, 1.0)
+        scaled = inv_freq / factor
+        mid = (1 - smooth) * scaled + smooth * inv_freq
+        return jnp.where(wavelen > low_wl, scaled, jnp.where(wavelen < high_wl, inv_freq, mid))
+
+    return scale
+
+
+# ------------------------------------------------------------------ modules
+
+
+class SelfAttention(nn.Module):
+    """Fused-QKV multi-head (optionally grouped-query) self-attention."""
+
+    num_heads: int
+    head_dim: int
+    num_kv_heads: int | None = None  # GQA; None = MHA
+    causal: bool = False
+    rotary_dim: int = 0
+    rotary_base: float = 10000.0
+    rope_scaling: Callable | None = None
+    attn_impl: AttnImpl = "xla"
+    use_bias: bool = True
+    out_bias: bool | None = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, positions=None):
+        b, s, _ = x.shape
+        h, d = self.num_heads, self.head_dim
+        kvh = self.num_kv_heads or h
+
+        qkv = nn.Dense((h + 2 * kvh) * d, use_bias=self.use_bias, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, [h * d, (h + kvh) * d], axis=-1)
+        q = q.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+        k = k.reshape(b, s, kvh, d).transpose(0, 2, 1, 3)
+        v = v.reshape(b, s, kvh, d).transpose(0, 2, 1, 3)
+
+        if self.rotary_dim:
+            if positions is None:
+                positions = jnp.arange(s)
+            cos, sin = rotary_angles(positions, self.rotary_dim, self.rotary_base, self.rope_scaling)
+            q = apply_rotary(q, cos, sin)
+            k = apply_rotary(k, cos, sin)
+
+        if kvh != h:
+            k = jnp.repeat(k, h // kvh, axis=1)
+            v = jnp.repeat(v, h // kvh, axis=1)
+
+        out = dot_product_attention(q, k, v, causal=self.causal, mask=mask, impl=self.attn_impl)
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+        out_bias = self.use_bias if self.out_bias is None else self.out_bias
+        return nn.Dense(x.shape[-1], use_bias=out_bias, dtype=self.dtype, name="out")(out)
+
+
+class Mlp(nn.Module):
+    intermediate: int
+    activation: Callable = nn.gelu
+    use_bias: bool = True
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        y = nn.Dense(self.intermediate, use_bias=self.use_bias, dtype=self.dtype, name="up")(x)
+        y = self.activation(y)
+        y = nn.Dense(x.shape[-1], use_bias=self.use_bias, dtype=self.dtype, name="down")(y)
+        if self.dropout:
+            y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        return y
+
+
+class GatedMlp(nn.Module):
+    """SwiGLU (Llama-style): fused gate+up projection, then down."""
+
+    intermediate: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        gate_up = nn.Dense(2 * self.intermediate, use_bias=False, dtype=self.dtype, name="gate_up")(x)
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+        y = nn.silu(gate) * up
+        return nn.Dense(x.shape[-1], use_bias=False, dtype=self.dtype, name="down")(y)
+
+
+def make_stack(block_cls, num_layers: int, remat: bool, name: str = "layers", **block_kwargs):
+    """Scan a block over the layer axis; optional full remat per block.
+
+    Returns a module instance whose __call__ is (carry, inputs...) -> carry.
+    Blocks must have signature ``__call__(self, x, *args)`` returning x.
+    """
+    cls = block_cls
+    if remat:
+        cls = nn.remat(cls, prevent_cse=False, static_argnums=())
+    scanned = nn.scan(
+        cls,
+        variable_axes={"params": 0},
+        split_rngs={"params": True, "dropout": True},
+        length=num_layers,
+        metadata_params={nn.PARTITION_NAME: "layers"},
+    )
+    return scanned(name=name, **block_kwargs)
+
+
+def cross_entropy_loss(logits: jax.Array, labels: jax.Array, ignore_index: int = -100) -> jax.Array:
+    """Mean token cross entropy in fp32, ignoring masked labels (HF semantics)."""
+    logits = logits.astype(jnp.float32)
+    valid = labels != ignore_index
+    safe_labels = jnp.where(valid, labels, 0)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    gold = jnp.take_along_axis(logits, safe_labels[..., None], axis=-1)[..., 0]
+    nll = (logz - gold) * valid
+    denom = jnp.maximum(valid.sum(), 1)
+    return nll.sum() / denom

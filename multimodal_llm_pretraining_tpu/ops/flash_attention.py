@@ -1,0 +1,300 @@
+"""Blockwise flash attention as a Pallas TPU kernel (fwd + custom-VJP bwd).
+
+This is the free-lunch / custom-kernel attention path, replacing the
+reference's delegation to torch SDPA / fused CUDA attention
+(``src/models/pythia.py:18-21``, ``src/models/vit.py:15``). Online-softmax
+forward; backward recomputes probabilities from the saved logsumexp (no
+O(S^2) residuals), so attention activation memory is O(S*D) per head.
+
+Layout: [batch, heads, seq, head_dim]; batch*heads folds into the first grid
+axis. Sequences are padded to the block size and masked exactly in-kernel
+(bounds + causal). Rectangular (cross-)attention works; ragged per-token
+masks fall back to the XLA path (see ``ops/attention.py``).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_K = 128
+NEG_INF = -1e30
+LANES = 128  # TPU lane width: per-row stats (lse/delta) carry a broadcast
+# trailing lane dim so their blocks satisfy Mosaic's (8, 128) tiling rule.
+
+
+def flash_supported(q, k, v, mask) -> bool:
+    """The kernel handles [B,H,S,D] with full (None) masks; ragged masks and
+    oversized head dims go to the XLA path."""
+    return mask is None and q.ndim == 4 and k.ndim == 4 and v.ndim == 4 and q.shape[-1] <= 512
+
+
+def _pad_to(x, axis, multiple):
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------- forward
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale, causal, block_k, kv_seq):
+    # q_ref: [1, block_q, D]; k_ref/v_ref: [1, kv_pad, D]
+    _, block_q, head_dim = q_ref.shape
+    qi = pl.program_id(1)
+    q_start = qi * block_q
+
+    q = q_ref[0].astype(jnp.float32) * sm_scale
+    num_kb = pl.cdiv(kv_seq, block_k)
+
+    def body(kb, carry):
+        acc, m_i, l_i = carry
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+        k_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        mask = k_idx < kv_seq
+        if causal:
+            q_idx = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            mask = jnp.logical_and(mask, q_idx >= k_idx)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=1))
+        p = jnp.exp(s - m_new[:, None])
+        alpha = jnp.exp(m_i - m_new)
+        l_i = l_i * alpha + jnp.sum(p, axis=1)
+        acc = acc * alpha[:, None] + jax.lax.dot(p, v_blk, preferred_element_type=jnp.float32)
+        return acc, m_new, l_i
+
+    if causal:
+        # key blocks strictly above this q block's diagonal contribute nothing
+        num_kb_eff = jnp.minimum(num_kb, pl.cdiv(q_start + block_q, block_k))
+    else:
+        num_kb_eff = num_kb
+
+    acc = jnp.zeros((block_q, head_dim), jnp.float32)
+    m_i = jnp.full((block_q,), NEG_INF, jnp.float32)
+    l_i = jnp.zeros((block_q,), jnp.float32)
+    acc, m_i, l_i = jax.lax.fori_loop(0, num_kb_eff, body, (acc, m_i, l_i))
+
+    l_safe = jnp.where(l_i > 0, l_i, 1.0)
+    o_ref[0] = (acc / l_safe[:, None]).astype(o_ref.dtype)
+    lse = m_i + jnp.log(l_safe)
+    lse_ref[0] = jnp.broadcast_to(lse[:, None], (block_q, LANES))
+
+
+# ---------------------------------------------------------------- backward
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, sm_scale, causal, block_k, kv_seq):
+    _, block_q, head_dim = q_ref.shape
+    qi = pl.program_id(1)
+    q_start = qi * block_q
+
+    q = q_ref[0].astype(jnp.float32) * sm_scale
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, :, 0]
+    delta = delta_ref[0, :, 0]
+    num_kb = pl.cdiv(kv_seq, block_k)
+
+    def body(kb, dq):
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        k_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        mask = k_idx < kv_seq
+        if causal:
+            q_idx = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            mask = jnp.logical_and(mask, q_idx >= k_idx)
+        s = jnp.where(mask, s, NEG_INF)
+        p = jnp.exp(s - lse[:, None])
+        dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None]) * sm_scale
+        return dq + jax.lax.dot(ds, k_blk, preferred_element_type=jnp.float32)
+
+    if causal:
+        num_kb_eff = jnp.minimum(num_kb, pl.cdiv(q_start + block_q, block_k))
+    else:
+        num_kb_eff = num_kb
+    dq = jax.lax.fori_loop(0, num_kb_eff, body, jnp.zeros((block_q, head_dim), jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, sm_scale, causal, block_q, q_seq, kv_seq):
+    _, block_k, head_dim = k_ref.shape
+    ki = pl.program_id(1)
+    k_start = ki * block_k
+
+    k_blk = k_ref[0].astype(jnp.float32)
+    v_blk = v_ref[0].astype(jnp.float32)
+    k_idx = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    kv_keep = k_idx < kv_seq
+    num_qb = pl.cdiv(q_seq, block_q)
+
+    def body(qi, carry):
+        dk, dv = carry
+        # q stays unscaled here: ds already carries sm_scale, so dk = ds^T @ q
+        q = q_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(qi * block_q, block_q), 0]
+        delta = delta_ref[0, pl.ds(qi * block_q, block_q), 0]
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * sm_scale
+        q_idx = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        mask = jnp.logical_and(kv_keep, q_idx < q_seq)
+        if causal:
+            mask = jnp.logical_and(mask, q_idx >= k_idx)
+        s = jnp.where(mask, s, NEG_INF)
+        p = jnp.exp(s - lse[:, None])
+        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None]) * sm_scale
+        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return dk, dv
+
+    qb_start = k_start // block_q if causal else 0
+    dk = jnp.zeros((block_k, head_dim), jnp.float32)
+    dv = jnp.zeros((block_k, head_dim), jnp.float32)
+    dk, dv = jax.lax.fori_loop(qb_start, num_qb, body, (dk, dv))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------- plumbing
+
+
+def _fwd_impl(q, k, v, causal, sm_scale, block_q, block_k):
+    bh, q_seq, head_dim = q.shape
+    kv_seq = k.shape[1]
+    qp = _pad_to(q, 1, block_q)
+    kp = _pad_to(k, 1, block_k)
+    vp = _pad_to(v, 1, block_k)
+    q_pad, kv_pad = qp.shape[1], kp.shape[1]
+
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, sm_scale=sm_scale, causal=causal, block_k=block_k, kv_seq=kv_seq),
+        grid=(bh, q_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, head_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kv_pad, head_dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kv_pad, head_dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, head_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, LANES), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, q_pad, head_dim), q.dtype),
+            jax.ShapeDtypeStruct((bh, q_pad, LANES), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(qp, kp, vp)
+    return out[:, :q_seq], lse[:, :q_seq, 0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash(q, k, v, causal, sm_scale, block_q, block_k):
+    out, _ = _fwd_impl(q, k, v, causal, sm_scale, block_q, block_k)
+    return out
+
+
+def _flash_fwd_rule(q, k, v, causal, sm_scale, block_q, block_k):
+    out, lse = _fwd_impl(q, k, v, causal, sm_scale, block_q, block_k)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_bwd_rule(causal, sm_scale, block_q, block_k, res, g):
+    q, k, v, out, lse = res
+    bh, q_seq, head_dim = q.shape
+    kv_seq = k.shape[1]
+
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # [BH, Sq]
+
+    qp, dop = _pad_to(q, 1, block_q), _pad_to(g, 1, block_q)
+    lsep = jnp.broadcast_to(_pad_to(lse, 1, block_q)[..., None], (bh, _pad_to(lse, 1, block_q).shape[1], LANES))
+    deltap = jnp.broadcast_to(_pad_to(delta, 1, block_q)[..., None], lsep.shape)
+    kp, vp = _pad_to(k, 1, block_k), _pad_to(v, 1, block_k)
+    q_pad, kv_pad = qp.shape[1], kp.shape[1]
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, causal=causal, block_k=block_k, kv_seq=kv_seq),
+        grid=(bh, q_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, head_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kv_pad, head_dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kv_pad, head_dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, head_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, LANES), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, LANES), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, head_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, q_pad, head_dim), q.dtype),
+        interpret=_interpret(),
+    )(qp, kp, vp, dop, lsep, deltap)[:, :q_seq]
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q, q_seq=q_seq, kv_seq=kv_seq),
+        grid=(bh, kv_pad // block_k),
+        in_specs=[
+            pl.BlockSpec((1, q_pad, head_dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, head_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, head_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_pad, head_dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_pad, LANES), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_pad, LANES), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, head_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, head_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, kv_pad, head_dim), k.dtype),
+            jax.ShapeDtypeStruct((bh, kv_pad, head_dim), v.dtype),
+        ],
+        interpret=_interpret(),
+    )(qp, kp, vp, dop, lsep, deltap)
+    return dq, dk[:, :kv_seq], dv[:, :kv_seq]
+
+
+_flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    sm_scale: float | None = None,
+    kv_len_mask: jax.Array | None = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jax.Array:
+    """Flash attention over [B, H, S, D] (``kv_len_mask`` must be None; the
+    dispatcher routes ragged masks to the XLA path)."""
+    assert kv_len_mask is None
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
+    b, h, sq, d = q.shape
+    kv = k.shape[2]
+    out = _flash(
+        q.reshape(b * h, sq, d),
+        k.reshape(b * h, kv, d),
+        v.reshape(b * h, kv, d),
+        causal,
+        sm_scale,
+        block_q,
+        block_k,
+    )
+    return out.reshape(b, h, sq, d)

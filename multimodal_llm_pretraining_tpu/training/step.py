@@ -1,0 +1,249 @@
+"""The jitted, sharded training step -- the core of the framework.
+
+Replaces the entire reference runtime delegation stack (HF ``Trainer`` +
+Accelerate + DeepSpeed engine + torch FSDP wrapping; ``src/train.py:57-89``,
+``src/benchmarking/utils.py:40-80``) with three pure jitted functions over an
+explicit device mesh:
+
+- ``train_step``       -- fused: grad-accum scan + optimizer update (used for
+                          real training; one XLA program, collectives overlap
+                          compute via the latency-hiding scheduler)
+- ``accumulate_step``  -- one microbatch fwd+bwd added into a grad buffer
+                          (``ManualTrainer.manual_training_step`` analog)
+- ``optimizer_step``   -- clip + optax update + zero-grads
+                          (``manual_optimization_step`` analog); the split
+                          exists so step timing can mirror the reference's
+                          ``acc_time x acc_steps + optim_time`` protocol
+                          (``src/benchmarking/step_time.py:95``)
+
+Sharding: params/grads/optimizer state get partition specs from the plan's
+``ShardingPolicy``; batches shard over the data axes; XLA inserts the
+all-gathers / reduce-scatters that DeepSpeed/FSDP would do by hand.
+"""
+
+import functools
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import DATA_AXES, build_mesh
+from ..parallel.sharding import named_sharding, tree_shardings
+from ..utils import get_logger
+from .optimizer import build_optimizer
+
+logger = get_logger()
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+class TrainSession:
+    """Builds and caches the jitted functions for one (plan, model) pair."""
+
+    def __init__(self, plan, model_class, mesh=None, devices=None):
+        self.plan = plan
+        self.model_class = model_class
+        plan.configure_compilation_cache()
+
+        self.mesh = mesh if mesh is not None else build_mesh(plan.mesh_config(), devices=devices)
+        self.policy = plan.sharding_policy()
+
+        self.bundle = model_class.build_model(
+            use_custom_kernels=plan.use_custom_kernels,
+            activation_checkpointing=plan.activation_checkpointing,
+            compute_dtype=plan.compute_dtype,
+        )
+        self.dataset = model_class.load_dummy_dataset()
+
+        self.tx = build_optimizer(
+            plan.optimizer,
+            plan.optimizer_kwargs or model_class.optimizer_kwargs,
+            plan.scheduler_type,
+            plan.scheduler_kwargs,
+            num_training_steps=plan.num_training_steps,
+            max_grad_norm=plan.max_grad_norm,
+            trainable_mask=self.bundle.trainable_mask,
+        )
+
+        # Shardings from abstract shapes (no allocation).
+        rng = jax.random.key(0)
+        param_shapes = jax.eval_shape(self.bundle.init_fn, rng)
+        opt_shapes = jax.eval_shape(self.tx.init, param_shapes)
+        tp = self.bundle.tp_rules
+        self.param_sharding = tree_shardings(
+            param_shapes, self.mesh, self.policy.params, offload=self.policy.offload_params, tp_rules=tp
+        )
+        self.grad_sharding = tree_shardings(param_shapes, self.mesh, self.policy.grads, tp_rules=tp)
+        self.opt_sharding = tree_shardings(
+            opt_shapes, self.mesh, self.policy.opt_state, offload=self.policy.offload_optimizer, tp_rules=tp
+        )
+        self.repl_sharding = named_sharding(self.mesh, P())
+        self.param_shapes = param_shapes
+
+        self._jitted: dict[str, Any] = {}
+
+    # ----------------------------------------------------------- data plumbing
+
+    @property
+    def dp_size(self) -> int:
+        return self.mesh.shape["replica"] * self.mesh.shape["data"]
+
+    def global_micro_batch_size(self, micro_batch_size: int | None = None) -> int:
+        mbs = micro_batch_size if micro_batch_size is not None else self.plan.micro_batch_size
+        return mbs * self.dp_size
+
+    def batch_sharding(self, ndim: int, leading_acc_dim: bool = False):
+        if leading_acc_dim:
+            return named_sharding(self.mesh, P(None, DATA_AXES, *([None] * (ndim - 2))))
+        return named_sharding(self.mesh, P(DATA_AXES, *([None] * (ndim - 1))))
+
+    def make_micro_batch(self, micro_batch_size: int | None = None, seed: int = 0):
+        """One global microbatch, host->device with data-axis sharding."""
+        gbs = self.global_micro_batch_size(micro_batch_size)
+        host = self.dataset.sample_batch(gbs, seed=seed)
+        return {k: jax.device_put(v, self.batch_sharding(v.ndim)) for k, v in host.items()}
+
+    def make_train_batch(self, seed: int = 0):
+        """[acc, global_mbs, ...] stacked batch for the fused step."""
+        acc = self.plan.gradient_accumulation_steps
+        gbs = self.global_micro_batch_size()
+        host = self.dataset.sample_batch(acc * gbs, seed=seed)
+        out = {}
+        for k, v in host.items():
+            v = v.reshape(acc, gbs, *v.shape[1:])
+            out[k] = jax.device_put(v, self.batch_sharding(v.ndim, leading_acc_dim=True))
+        return out
+
+    def micro_batch_specs(self, micro_batch_size: int | None = None, leading_acc_dim: bool = False):
+        """ShapeDtypeStructs (with shardings) for AOT compilation."""
+        gbs = self.global_micro_batch_size(micro_batch_size)
+        spec = self.dataset.element_spec()
+        out = {}
+        for k, (shape, dtype) in spec.items():
+            if leading_acc_dim:
+                full = (self.plan.gradient_accumulation_steps, gbs, *shape)
+            else:
+                full = (gbs, *shape)
+            out[k] = jax.ShapeDtypeStruct(full, dtype, sharding=self.batch_sharding(len(full), leading_acc_dim))
+        return out
+
+    # ----------------------------------------------------------- state
+
+    def init_state(self, seed: int = 0) -> TrainState:
+        rng = jax.random.key(seed)
+        params = jax.jit(self.bundle.init_fn, out_shardings=self.param_sharding)(rng)
+        opt_state = jax.jit(self.tx.init, out_shardings=self.opt_sharding)(params)
+        step = jnp.zeros((), jnp.int32)
+        return TrainState(step=step, params=params, opt_state=opt_state)
+
+    def zero_grads(self):
+        zeros = functools.partial(jax.tree.map, lambda s: jnp.zeros(s.shape, s.dtype), self.param_shapes)
+        return jax.jit(zeros, out_shardings=self.grad_sharding)()
+
+    # ----------------------------------------------------------- pure fns
+
+    def _loss(self, params, batch, rng):
+        with jax.default_matmul_precision(self.plan.matmul_precision):
+            loss, metrics = self.bundle.loss_fn(params, batch, rng=rng, train=True)
+        return loss, metrics
+
+    def _accumulate(self, params, grads, batch, rng):
+        (loss, _metrics), g = jax.value_and_grad(self._loss, has_aux=True)(params, batch, rng)
+        grads = jax.tree.map(jnp.add, grads, g)
+        return grads, loss
+
+    def _optimizer_update(self, params, opt_state, grads, acc_steps):
+        import optax
+
+        grads = jax.tree.map(lambda g: g / acc_steps, grads)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state
+
+    def _train_step(self, state: TrainState, batch, rng):
+        acc = self.plan.gradient_accumulation_steps
+        rng = jax.random.fold_in(rng, state.step)
+
+        def micro(carry, mb):
+            grads, loss_sum = carry
+            g, loss = self._accumulate(state.params, grads, mb, rng)
+            return (g, loss_sum + loss), None
+
+        grads0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), self.param_shapes)
+        (grads, loss_sum), _ = jax.lax.scan(micro, (grads0, jnp.zeros((), jnp.float32)), batch)
+        grads = jax.lax.with_sharding_constraint(grads, self.grad_sharding)
+        params, opt_state = self._optimizer_update(state.params, state.opt_state, grads, float(acc))
+        new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+        return new_state, {"loss": loss_sum / acc}
+
+    # ----------------------------------------------------------- jitted entry points
+
+    def accumulate_fn(self):
+        """jit of one microbatch fwd+bwd accumulated into a grads buffer."""
+        if "acc" not in self._jitted:
+            self._jitted["acc"] = jax.jit(
+                self._accumulate,
+                in_shardings=(self.param_sharding, self.grad_sharding, None, self.repl_sharding),
+                out_shardings=(self.grad_sharding, self.repl_sharding),
+                donate_argnums=(1,),
+            )
+        return self._jitted["acc"]
+
+    def optimizer_update_fn(self):
+        if "upd" not in self._jitted:
+            self._jitted["upd"] = jax.jit(
+                self._optimizer_update,
+                in_shardings=(self.param_sharding, self.opt_sharding, self.grad_sharding),
+                out_shardings=(self.param_sharding, self.opt_sharding),
+                donate_argnums=(0, 1, 2),
+                static_argnums=(3,),
+            )
+        return self._jitted["upd"]
+
+    def train_step_fn(self):
+        """The fused production step: scan over microbatches + update."""
+        if "step" not in self._jitted:
+            state_shardings = TrainState(step=self.repl_sharding, params=self.param_sharding, opt_state=self.opt_sharding)
+            self._jitted["step"] = jax.jit(
+                self._train_step,
+                in_shardings=(state_shardings, None, self.repl_sharding),
+                out_shardings=(state_shardings, None),
+                donate_argnums=(0,),
+            )
+        return self._jitted["step"]
+
+    # ----------------------------------------------------------- AOT analysis
+
+    def lower_accumulate(self, micro_batch_size: int):
+        params_s = jax.tree.map(lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh), self.param_shapes, self.param_sharding)
+        grads_s = jax.tree.map(lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh), self.param_shapes, self.grad_sharding)
+        batch_s = self.micro_batch_specs(micro_batch_size)
+        rng_s = jax.ShapeDtypeStruct((), jax.random.key(0).dtype, sharding=self.repl_sharding)
+        fn = jax.jit(
+            self._accumulate,
+            in_shardings=(self.param_sharding, self.grad_sharding, None, self.repl_sharding),
+            out_shardings=(self.grad_sharding, self.repl_sharding),
+            donate_argnums=(1,),
+        )
+        return fn.lower(params_s, grads_s, batch_s, rng_s)
+
+    def count_step_flops(self, micro_batch_size: int = 1) -> float | None:
+        """FLOPs of one fwd+bwd microstep from XLA cost analysis -- the
+        ``FlopCounterMode`` replacement (``src/benchmarking/flops.py:28-36``)."""
+        try:
+            compiled = self.lower_accumulate(micro_batch_size).compile()
+            cost = compiled.cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            return float(cost.get("flops", None)) if cost else None
+        except Exception as e:  # pragma: no cover
+            logger.info(f"cost_analysis failed: {e}")
+            return None

@@ -1,0 +1,58 @@
+"""Kernel correctness: flash attention vs naive reference implementation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_llm_pretraining_tpu.ops.attention import dot_product_attention
+from multimodal_llm_pretraining_tpu.ops.flash_attention import flash_attention
+
+
+def _rand(shape, seed=0):
+    return jnp.asarray(np.random.default_rng(seed).normal(size=shape), jnp.float32)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("seq", [128, 200])
+def test_flash_forward_matches_naive(causal, seq):
+    q, k, v = (_rand((2, 2, seq, 64), s) for s in range(3))
+    with jax.default_matmul_precision("highest"):
+        ref = dot_product_attention(q, k, v, causal=causal, impl="naive")
+        out = flash_attention(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_grads_match_naive(causal):
+    q, k, v = (_rand((1, 2, 150, 64), s) for s in range(3))
+
+    def f_flash(q, k, v):
+        return (flash_attention(q, k, v, causal=causal) ** 2).sum()
+
+    def f_ref(q, k, v):
+        return (dot_product_attention(q, k, v, causal=causal, impl="naive") ** 2).sum()
+
+    with jax.default_matmul_precision("highest"):
+        g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_flash_cross_attention():
+    q = _rand((2, 2, 300, 64), 0)
+    k = _rand((2, 2, 150, 64), 1)
+    v = _rand((2, 2, 150, 64), 2)
+    with jax.default_matmul_precision("highest"):
+        ref = dot_product_attention(q, k, v, impl="naive")
+        out = flash_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_xla_impl_with_padding_mask():
+    q, k, v = (_rand((2, 2, 64, 32), s) for s in range(3))
+    mask = jnp.asarray(np.concatenate([np.ones((2, 40)), np.zeros((2, 24))], axis=1))
+    out = dot_product_attention(q, k, v, mask=mask, impl="xla")
+    ref = dot_product_attention(q, k, v, mask=mask, impl="naive")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
