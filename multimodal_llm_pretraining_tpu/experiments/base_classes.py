@@ -1,0 +1,187 @@
+"""Experiment / Sweep abstractions.
+
+Parity with ``experiments/utils/base_classes.py:29-259``: an Experiment is a
+named DAG of cacheable steps plus an optional SLURM job spec; a Sweep is a
+cartesian-product generator over a search space with batching of identical
+SLURM jobs, run/count/print-incomplete/print-results commands, and tabular
+results (pandas here; the reference used polars).
+
+CLIs are argparse-driven (the reference used tyro); literal choices come
+from the dataclass annotations so adding a model/TPU type propagates.
+"""
+
+import abc
+import itertools
+from dataclasses import dataclass, fields
+from typing import Any
+
+import pandas as pd
+
+from ..utils import get_logger
+from .cache import StepCall, get_workspace
+from .slurm import SlurmJob
+
+logger = get_logger()
+
+
+@dataclass
+class Experiment(abc.ABC):
+    """A named DAG of steps. Subclasses define ``step_dict`` (insertion order
+    respected; later steps may consume earlier StepCalls as lazy inputs)."""
+
+    @property
+    @abc.abstractmethod
+    def step_dict(self) -> dict[str, StepCall]:
+        raise NotImplementedError
+
+    def to_dict(self) -> dict[str, Any]:
+        return {f.name: getattr(self, f.name) for f in fields(self)}
+
+    def is_valid(self) -> bool:
+        return True
+
+    @property
+    def slurm_job(self) -> SlurmJob | None:
+        return None
+
+    @property
+    def dependencies(self) -> list["Experiment"]:
+        return []
+
+    # ------------------------------------------------------------ execution
+
+    def run(self) -> None:
+        for dep in self.dependencies:
+            dep.run()
+        ws = get_workspace()
+        for name, call in self.step_dict.items():
+            logger.info(f"[{type(self).__name__}] step '{name}'")
+            call.result(ws)
+
+    def launch(self, slurm: bool = False) -> None:
+        if slurm and self.slurm_job is not None:
+            self.slurm_job.submit(self)
+        else:
+            self.run()
+
+    # ------------------------------------------------------------ status
+
+    def is_cached(self) -> bool:
+        ws = get_workspace()
+        return all(call.is_cached(ws) for call in self.step_dict.values())
+
+    def is_running(self) -> bool:
+        ws = get_workspace()
+        return any(call.is_running(ws) for call in self.step_dict.values())
+
+    def step_result(self, name: str):
+        return self.step_dict[name].result(get_workspace())
+
+    def results(self) -> dict[str, Any]:
+        return {name: self.step_result(name) for name in self.step_dict}
+
+    # ------------------------------------------------------------ CLI
+
+    @classmethod
+    def cli(cls) -> None:
+        import argparse
+
+        parser = argparse.ArgumentParser(description=cls.__doc__)
+        for f in fields(cls):
+            arg = "--" + f.name.replace("_", "-")
+            if f.type is bool or f.type == "bool":
+                parser.add_argument(arg, action="store_true")
+            else:
+                parser.add_argument(arg, type=str)
+        parser.add_argument("--slurm", action="store_true")
+        ns = vars(parser.parse_args())
+        slurm = ns.pop("slurm")
+        kwargs = {k: v for k, v in ns.items() if v is not None}
+        exp = cls(**kwargs)  # type: ignore[arg-type]
+        exp.launch(slurm=slurm)
+
+
+class Sweep(abc.ABC):
+    """Cartesian-product experiment generator over a search-space dict."""
+
+    def __init__(self, search_space: dict[str, list]):
+        self.search_space = search_space
+
+    @abc.abstractmethod
+    def build_experiment(self, **assignment) -> Experiment:
+        raise NotImplementedError
+
+    def experiments(self) -> list[Experiment]:
+        keys = list(self.search_space.keys())
+        out = []
+        for values in itertools.product(*(self.search_space[k] for k in keys)):
+            exp = self.build_experiment(**dict(zip(keys, values)))
+            if exp.is_valid():
+                out.append(exp)
+        return out
+
+    # ------------------------------------------------------------ commands
+
+    def sweep(self, slurm: bool = False) -> None:
+        exps = self.experiments()
+        if not slurm:
+            for i, exp in enumerate(exps):
+                if exp.is_cached():
+                    continue
+                logger.info(f"--- experiment {i + 1}/{len(exps)}: {exp.to_dict()}")
+                try:
+                    exp.run()
+                except Exception as e:
+                    logger.info(f"experiment failed: {e}")
+            return
+        # batch experiments sharing a SlurmJob spec into one submission each
+        groups: dict[SlurmJob | None, list[Experiment]] = {}
+        for exp in exps:
+            if exp.is_cached():
+                continue
+            groups.setdefault(exp.slurm_job, []).append(exp)
+        for job, group in groups.items():
+            if job is None:
+                for exp in group:
+                    exp.run()
+            else:
+                job.submit_batch(group)
+
+    def count(self) -> tuple[int, int]:
+        exps = self.experiments()
+        done = sum(1 for e in exps if e.is_cached())
+        return done, len(exps)
+
+    def incomplete(self) -> list[Experiment]:
+        return [e for e in self.experiments() if not e.is_cached()]
+
+    def results(self) -> pd.DataFrame:
+        rows = []
+        for exp in self.experiments():
+            row = dict(exp.to_dict())
+            if exp.is_cached():
+                res = exp.results()
+                for k, v in res.items():
+                    row[k] = v if not isinstance(v, dict) else str(v)
+                flat = res.get("benchmarking_results")
+                if isinstance(flat, dict):
+                    row.update(flat)
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    @staticmethod
+    def run(experiment_sweep: "Sweep", cmd: str = "run", slurm: bool = False) -> None:
+        match cmd:
+            case "run":
+                experiment_sweep.sweep(slurm=slurm)
+            case "count":
+                done, total = experiment_sweep.count()
+                print(f"{done} / {total} experiments cached")
+            case "print-incomplete":
+                for e in experiment_sweep.incomplete():
+                    print(e.to_dict())
+            case "print-results":
+                with pd.option_context("display.max_rows", None, "display.max_columns", None, "display.width", 250):
+                    print(experiment_sweep.results())
+            case _:
+                raise ValueError(f"unknown cmd {cmd}")

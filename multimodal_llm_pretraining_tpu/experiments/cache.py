@@ -1,0 +1,164 @@
+"""Content-addressed step cache: the AI2-Tango analog.
+
+The reference caches every experiment step in a Tango workspace keyed by a
+deterministic hash of function + version + args
+(``experiments/utils/__tango__.py:16-77``), which is what makes sweeps
+resumable (``README.md:142-144``). Same model here, without the dependency:
+
+- ``@step(cacheable=True, version="001")`` turns a function into a lazy
+  ``StepCall`` factory.
+- A StepCall's unique id hashes (name, version, resolved-arg reprs); StepCall
+  arguments contribute their *ids* (graph hashing, like Tango), so a step
+  re-runs iff its code version or any upstream input changes.
+- Results persist as dill files under ``$MLPT_WORKSPACE_DIR``; without the
+  env var, an in-memory workspace is used (Tango's memory workspace,
+  ``experiments/utils/__tango__.py:20-27``).
+"""
+
+import functools
+import hashlib
+import os
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import dill
+
+from ..utils import get_logger
+
+logger = get_logger()
+
+
+def stable_repr(value: Any) -> str:
+    """Deterministic repr for hashing: dataclasses hash by their repr (the
+    ``TangoStringHash`` trick, ``experiments/utils/__tango__.py:34-37``)."""
+    if isinstance(value, StepCall):
+        return f"StepCall({value.unique_id()})"
+    if isinstance(value, dict):
+        return "{" + ",".join(f"{stable_repr(k)}:{stable_repr(v)}" for k, v in sorted(value.items(), key=lambda kv: str(kv[0]))) + "}"
+    if isinstance(value, (list, tuple)):
+        return "[" + ",".join(stable_repr(v) for v in value) + "]"
+    return repr(value)
+
+
+class Workspace:
+    """Directory-backed result store."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, uid: str) -> str:
+        return os.path.join(self.root, uid + ".dill")
+
+    def contains(self, uid: str) -> bool:
+        return os.path.exists(self._path(uid))
+
+    def load(self, uid: str) -> Any:
+        with open(self._path(uid), "rb") as f:
+            return dill.load(f)
+
+    def store(self, uid: str, result: Any) -> None:
+        tmp = self._path(uid) + ".tmp"
+        with open(tmp, "wb") as f:
+            dill.dump(result, f)
+        os.replace(tmp, self._path(uid))
+
+    def mark_running(self, uid: str, flag: bool) -> None:
+        p = self._path(uid) + ".running"
+        if flag:
+            open(p, "w").close()
+        elif os.path.exists(p):
+            os.remove(p)
+
+    def is_running(self, uid: str) -> bool:
+        return os.path.exists(self._path(uid) + ".running")
+
+
+class MemoryWorkspace(Workspace):
+    def __init__(self):
+        self._data: dict[str, Any] = {}
+        self._running: set[str] = set()
+
+    def contains(self, uid):
+        return uid in self._data
+
+    def load(self, uid):
+        return self._data[uid]
+
+    def store(self, uid, result):
+        self._data[uid] = result
+
+    def mark_running(self, uid, flag):
+        (self._running.add if flag else self._running.discard)(uid)
+
+    def is_running(self, uid):
+        return uid in self._running
+
+
+_default_workspace: Workspace | None = None
+
+
+def get_workspace() -> Workspace:
+    global _default_workspace
+    if _default_workspace is None:
+        root = os.environ.get("MLPT_WORKSPACE_DIR")
+        _default_workspace = Workspace(root) if root else MemoryWorkspace()
+    return _default_workspace
+
+
+def set_workspace(ws: Workspace) -> None:
+    global _default_workspace
+    _default_workspace = ws
+
+
+@dataclass
+class StepCall:
+    fn: Callable
+    name: str
+    version: str
+    cacheable: bool
+    args: tuple = ()
+    kwargs: dict = field(default_factory=dict)
+
+    def unique_id(self) -> str:
+        payload = f"{self.name}|{self.version}|{stable_repr(self.args)}|{stable_repr(self.kwargs)}"
+        return f"{self.name}-{self.version}-" + hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+    def is_cached(self, workspace: Workspace | None = None) -> bool:
+        ws = workspace or get_workspace()
+        return self.cacheable and ws.contains(self.unique_id())
+
+    def is_running(self, workspace: Workspace | None = None) -> bool:
+        ws = workspace or get_workspace()
+        return ws.is_running(self.unique_id())
+
+    def result(self, workspace: Workspace | None = None) -> Any:
+        ws = workspace or get_workspace()
+        uid = self.unique_id()
+        if self.cacheable and ws.contains(uid):
+            return ws.load(uid)
+        resolved_args = tuple(a.result(ws) if isinstance(a, StepCall) else a for a in self.args)
+        resolved_kwargs = {k: (v.result(ws) if isinstance(v, StepCall) else v) for k, v in self.kwargs.items()}
+        logger.info(f"Running step {uid}")
+        ws.mark_running(uid, True)
+        try:
+            out = self.fn(*resolved_args, **resolved_kwargs)
+        finally:
+            ws.mark_running(uid, False)
+        if self.cacheable:
+            ws.store(uid, out)
+        return out
+
+
+def step(cacheable: bool = True, version: str = "001"):
+    """Decorator: calling the function builds a lazy, cacheable StepCall."""
+
+    def decorate(fn: Callable):
+        @functools.wraps(fn)
+        def make(*args, **kwargs) -> StepCall:
+            return StepCall(fn=fn, name=fn.__name__, version=version, cacheable=cacheable, args=args, kwargs=kwargs)
+
+        make.__wrapped_step__ = fn  # type: ignore[attr-defined]
+        return make
+
+    return decorate

@@ -1,0 +1,103 @@
+"""Experiment configuration dataclasses.
+
+Mirrors ``experiments/config.py:12-101``: ``BaseConfig`` names the hardware
+(TPU topology instead of GPU counts) and model; ``TrainingConfig`` adds the
+method-search dimensions and expands them into a concrete ``TrainingPlan``
+(the ``TrainingConfig.training_class`` analog).
+
+Free-lunch mapping (reference ``experiments/config.py:41-48``):
+  GPU free lunch = TF32 (ampere+) + torch.compile + custom kernels
+  TPU free lunch = matmul precision "high" (bf16_3x, the TF32 analog; every
+  TPU qualifies, so the ampere gate always passes) + persistent compile
+  cache + Pallas kernels
+"""
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Literal
+
+from ..models import BaseModelClass, ModelT, get_model_class
+from ..parallel.mesh import MeshConfig
+from ..tpus import TpuT, supports_bf16
+from ..train import TrainingPlan
+
+ShardingT = Literal[
+    "",
+    "fsdp_shard_grad_op",
+    "fsdp_full_shard",
+    "fsdp_hybrid_shard_zero2",
+    "fsdp_hybrid_shard",
+    "zero_1",
+    "zero_2",
+    "zero_3",
+    "zero_3++",
+]
+
+
+@dataclass
+class BaseConfig:
+    num_hosts: int
+    chips_per_host: int
+    tpu_type: TpuT
+    model: ModelT
+
+    @property
+    def num_chips(self) -> int:
+        return self.num_hosts * self.chips_per_host
+
+    def supports_bf16(self) -> bool:
+        """ampere_or_newer_gpu analog -- always True on TPU."""
+        return supports_bf16(self.tpu_type)
+
+    def model_class(self) -> BaseModelClass:
+        return get_model_class(model_type=self.model)
+
+    def config_hash(self) -> str:
+        return repr(self)
+
+
+@dataclass
+class TrainingConfig(BaseConfig):
+    free_lunch: bool = False
+    activation_checkpointing: bool = False
+    sharding: ShardingT = ""
+    offloading: bool = False
+    tensor_parallel: int = 1  # TPU value-add: GSPMD model axis (reference has no TP)
+
+    def training_plan(self, **overrides) -> TrainingPlan:
+        model_class = self.model_class()
+
+        if self.free_lunch:
+            matmul_precision = "high" if self.supports_bf16() else "highest"
+            compile = model_class.supports_compilation
+            use_custom_kernels = True
+        else:
+            matmul_precision = "highest"
+            compile = False
+            use_custom_kernels = False
+
+        plan = TrainingPlan(
+            num_training_steps=model_class.training_steps,
+            micro_batch_size=1,
+            gradient_accumulation_steps=1,
+            activation_checkpointing=self.activation_checkpointing,
+            bf16=(model_class.mixed_precision == "bf16"),
+            fp16=(model_class.mixed_precision == "fp16"),
+            matmul_precision=matmul_precision,  # type: ignore[arg-type]
+            compile=compile,
+            use_custom_kernels=use_custom_kernels,
+            optimizer=model_class.optimizer,
+            optimizer_kwargs=model_class.optimizer_kwargs,
+            scheduler_type=model_class.scheduler_type,
+            scheduler_kwargs=model_class.scheduler_kwargs,
+            sharding=self.sharding,
+            offloading=self.offloading,
+            max_grad_norm=model_class.max_grad_norm,
+            extra_args=model_class.extra_training_args,
+            mesh=MeshConfig(
+                num_hosts=self.num_hosts,
+                chips_per_host=self.chips_per_host,
+                tensor_parallel=self.tensor_parallel,
+            ),
+        )
+        return dataclasses.replace(plan, **overrides)

@@ -72,7 +72,11 @@ class GPTNeoXLM(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids, deterministic=True):
+    def __call__(self, input_ids, labels=None, deterministic=True):
+        """Returns logits when ``labels`` is None, else the (shifted) LM loss
+        via the chunked vocab projection (full logits never materialize)."""
+        from ..ops.xent import lm_head_loss
+
         x = nn.Embed(self.vocab_size, self.hidden, dtype=self.dtype, name="embed_in")(input_ids)
         stack = make_stack(
             GPTNeoXBlock,
@@ -85,7 +89,10 @@ class GPTNeoXLM(nn.Module):
         )
         x, _ = stack(x, None)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_ln")(x)
-        return nn.Dense(self.vocab_size, use_bias=False, dtype=self.dtype, name="embed_out")(x)
+        kernel = self.param("embed_out", nn.initializers.lecun_normal(), (self.hidden, self.vocab_size))
+        if labels is None:
+            return jnp.dot(x, kernel.astype(self.dtype))
+        return lm_head_loss(x, kernel.astype(self.dtype), labels, shift=True)
 
 
 # Tensor-parallel annotations (active only when the mesh has a model axis;
@@ -95,7 +102,7 @@ GPTNEOX_TP_RULES = [
     (r"attn/out/kernel", ("model", "data")),
     (r"mlp/up/kernel", ("data", "model")),
     (r"mlp/down/kernel", ("model", "data")),
-    (r"embed_out/kernel", (None, "model")),
+    (r"embed_out", (None, "model")),
     (r"embed_in/embedding", (None, "model")),
 ]
 
@@ -125,8 +132,7 @@ class PythiaModelClass(LanguageModelClass[PythiaT]):
             return module.init(rng, jnp.zeros((1, 8), jnp.int32))["params"]
 
         def loss_fn(params, batch, rng=None, train=True):
-            logits = module.apply({"params": params}, batch["input_ids"])
-            loss = cross_entropy_loss(logits[:, :-1], batch["labels"][:, 1:])
+            loss = module.apply({"params": params}, batch["input_ids"], labels=batch["labels"])
             return loss, {"loss": loss}
 
         return ModelBundle(init_fn=init_fn, loss_fn=loss_fn, tp_rules=GPTNEOX_TP_RULES)

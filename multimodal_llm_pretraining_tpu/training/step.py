@@ -172,13 +172,18 @@ class TrainSession:
         acc = self.plan.gradient_accumulation_steps
         rng = jax.random.fold_in(rng, state.step)
 
-        def micro(carry, mb):
-            grads, loss_sum = carry
-            g, loss = self._accumulate(state.params, grads, mb, rng)
-            return (g, loss_sum + loss), None
+        if acc == 1:
+            # no accumulation buffer needed: grads flow straight to the update
+            micro_batch = {k: v[0] for k, v in batch.items()}
+            (loss_sum, _m), grads = jax.value_and_grad(self._loss, has_aux=True)(state.params, micro_batch, rng)
+        else:
+            def micro(carry, mb):
+                grads, loss_sum = carry
+                g, loss = self._accumulate(state.params, grads, mb, rng)
+                return (g, loss_sum + loss), None
 
-        grads0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), self.param_shapes)
-        (grads, loss_sum), _ = jax.lax.scan(micro, (grads0, jnp.zeros((), jnp.float32)), batch)
+            grads0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), self.param_shapes)
+            (grads, loss_sum), _ = jax.lax.scan(micro, (grads0, jnp.zeros((), jnp.float32)), batch)
         grads = jax.lax.with_sharding_constraint(grads, self.grad_sharding)
         params, opt_state = self._optimizer_update(state.params, state.opt_state, grads, float(acc))
         new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)

@@ -1,0 +1,142 @@
+"""Harness tests: step cache, config expansion, analytic estimates, sweeps."""
+
+import numpy as np
+import pytest
+
+from multimodal_llm_pretraining_tpu.experiments.cache import MemoryWorkspace, step, set_workspace
+from multimodal_llm_pretraining_tpu.experiments.config import TrainingConfig
+from multimodal_llm_pretraining_tpu.experiments.sweeps import TrainingTimeEmpiricalSweep
+from multimodal_llm_pretraining_tpu.experiments.training_time_empirical import TrainingTimeEmpirical
+from multimodal_llm_pretraining_tpu.benchmarking.flops import analytic_flops_per_example, transformer_flops_per_token
+from multimodal_llm_pretraining_tpu.models import get_model_class
+from multimodal_llm_pretraining_tpu.tpus import chip_spec, peak_tflops
+
+
+@pytest.fixture(autouse=True)
+def fresh_workspace():
+    ws = MemoryWorkspace()
+    set_workspace(ws)
+    yield ws
+    set_workspace(MemoryWorkspace())
+
+
+def test_step_cache_memoizes(fresh_workspace):
+    calls = []
+
+    @step(cacheable=True, version="001")
+    def expensive(x):
+        calls.append(x)
+        return x * 2
+
+    c1 = expensive(x=21)
+    assert c1.result() == 42
+    assert c1.result() == 42
+    assert calls == [21]
+    # different args -> different cache entry
+    assert expensive(x=10).result() == 20
+    assert calls == [21, 10]
+
+
+def test_step_cache_version_invalidates(fresh_workspace):
+    @step(cacheable=True, version="001")
+    def f(x):
+        return x
+
+    @step(cacheable=True, version="002")
+    def f2(x):
+        return x + 1
+
+    f2.__wrapped_step__.__name__ = "f"
+    assert f(x=1).unique_id() != f2(x=1).unique_id()
+
+
+def test_step_graph_hashing(fresh_workspace):
+    @step()
+    def a(x):
+        return x + 1
+
+    @step()
+    def b(y):
+        return y * 10
+
+    upstream = a(x=1)
+    downstream = b(y=upstream)
+    assert downstream.result() == 20
+    # changing upstream input changes downstream id
+    assert b(y=a(x=2)).unique_id() != downstream.unique_id()
+
+
+def test_training_config_expansion():
+    cfg = TrainingConfig(
+        num_hosts=1, chips_per_host=8, tpu_type="v4", model="pythia-160m", free_lunch=True, sharding="zero_2", offloading=False
+    )
+    plan = cfg.training_plan()
+    assert plan.fp16 and not plan.bf16  # pythia-160m declares fp16
+    assert plan.matmul_precision == "high"
+    assert plan.use_custom_kernels
+    assert plan.sharding == "zero_2"
+    policy = plan.sharding_policy()
+    assert policy.opt_state == "sharded" and policy.grads == "sharded" and policy.params == "replicated"
+    assert plan.is_valid()
+
+
+def test_validity_rules_match_reference():
+    def make(**kw):
+        base = dict(num_hosts=1, chips_per_host=8, tpu_type="v4", model="pythia-160m")
+        base.update(kw)
+        return TrainingTimeEmpirical(config=TrainingConfig(**base))
+
+    assert make().is_valid()
+    # offloading without sharding invalid (reference :183-185)
+    assert not make(offloading=True).is_valid()
+    # sharding on one chip invalid unless offloading (reference :177-182)
+    assert not make(chips_per_host=1, sharding="zero_1").is_valid()
+    assert make(chips_per_host=1, sharding="zero_1", offloading=True).is_valid()
+    # hybrid needs >1 host
+    assert not make(sharding="fsdp_hybrid_shard").is_valid()
+    assert TrainingTimeEmpirical(
+        config=TrainingConfig(num_hosts=2, chips_per_host=4, tpu_type="v4", model="pythia-160m", sharding="fsdp_hybrid_shard")
+    ).is_valid()
+
+
+def test_sweep_grid_counts():
+    sweep = TrainingTimeEmpiricalSweep(
+        search_space=dict(
+            num_hosts=[1],
+            chips_per_host=[8],
+            tpu_type=["v4"],
+            model=["pythia-160m"],
+            free_lunch=[True],
+            activation_checkpointing=[False, True],
+            sharding=["", "zero_1", "zero_2", "zero_3", "fsdp_shard_grad_op", "fsdp_full_shard"],
+            offloading=[False, True],
+        )
+    )
+    exps = sweep.experiments()
+    # offloading=True with sharding="" filtered: 2 * (6*2 - 1) = 22
+    assert len(exps) == 22
+
+
+def test_analytic_flops_pythia():
+    mc = get_model_class("pythia-160m")
+    flops = analytic_flops_per_example(mc)
+    # ~6 * N * T: 6 * 162e6 * 2049 ~= 2.0e12
+    assert 1.5e12 < flops < 3.0e12
+
+
+def test_chip_registry():
+    assert chip_spec("v5p").peak_bf16_tflops == 459.0
+    assert peak_tflops("v4", "bf16") == 275.0
+    assert peak_tflops("v4", "fp32_high") == pytest.approx(275.0 / 3)
+    f = transformer_flops_per_token(12, 768, 2049, vocab=50304)
+    assert f > 0
+
+
+def test_analytic_training_days():
+    from multimodal_llm_pretraining_tpu.experiments.training_time_analytic import estimate_training_days_from_flops
+
+    cfg = TrainingConfig(num_hosts=1, chips_per_host=4, tpu_type="v4", model="pythia-160m", free_lunch=True)
+    call = estimate_training_days_from_flops(total_flops=1e21, config=cfg)
+    days = call.result()
+    # 1e21 / (4 * 275e12 * 86400) ~= 10.5 days
+    assert np.isclose(days, 1e21 / (4 * 275e12 * 86400), rtol=1e-6)
