@@ -11,9 +11,12 @@ def get_real_dataset(model_type: str, data_dir: str | None):
         ds = LlavaDataset(split=split, data_dir=data_dir)
         return ds, LlavaCollator(split=split)
     if model_type in ("vilt-pretrain", "vilt-finetune", "vilt-original-pretrain", "vilt-original-finetune"):
-        from .vilt_data import LlavaDatasetforVilt, ViltCollator
+        from .vilt_data import LlavaDatasetforVilt, ViltCollator, ViltCollatorForOriginal
 
-        split = "pretrain" if model_type.endswith("-pretrain") else "finetune"
-        ds = LlavaDatasetforVilt(split="pretrain", data_dir=data_dir)
-        return ds, ViltCollator(split=split)
+        collator_cls = ViltCollatorForOriginal if "original" in model_type else ViltCollator
+        if model_type.endswith("-pretrain"):
+            ds = LlavaDatasetforVilt(split="pretrain", data_dir=data_dir)
+            return ds, collator_cls(split="pretrain")
+        ds = LlavaDatasetforVilt(split="instruction", data_dir=data_dir)
+        return ds, collator_cls(split="instruction")
     raise ValueError(f"no real dataset registered for {model_type}; use --dataset dummy")

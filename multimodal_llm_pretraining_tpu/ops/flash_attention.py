@@ -62,7 +62,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale, causal, block_
         acc, m_i, l_i = carry
         k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
         v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
 
         k_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         mask = k_idx < kv_seq
@@ -75,7 +75,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale, causal, block_
         p = jnp.exp(s - m_new[:, None])
         alpha = jnp.exp(m_i - m_new)
         l_i = l_i * alpha + jnp.sum(p, axis=1)
-        acc = acc * alpha[:, None] + jax.lax.dot(p, v_blk, preferred_element_type=jnp.float32)
+        acc = acc * alpha[:, None] + jax.lax.dot(p, v_blk, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
         return acc, m_new, l_i
 
     if causal:
@@ -112,7 +112,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, s
     def body(kb, dq):
         k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
         v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
         k_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         mask = k_idx < kv_seq
         if causal:
@@ -120,9 +120,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, s
             mask = jnp.logical_and(mask, q_idx >= k_idx)
         s = jnp.where(mask, s, NEG_INF)
         p = jnp.exp(s - lse[:, None])
-        dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
         ds = p * (dp - delta[:, None]) * sm_scale
-        return dq + jax.lax.dot(ds, k_blk, preferred_element_type=jnp.float32)
+        return dq + jax.lax.dot(ds, k_blk, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
 
     if causal:
         num_kb_eff = jnp.minimum(num_kb, pl.cdiv(q_start + block_q, block_k))
@@ -150,17 +150,17 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_
         do = do_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
         lse = lse_ref[0, pl.ds(qi * block_q, block_q), 0]
         delta = delta_ref[0, pl.ds(qi * block_q, block_q), 0]
-        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * sm_scale
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT) * sm_scale
         q_idx = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
         mask = jnp.logical_and(kv_keep, q_idx < q_seq)
         if causal:
             mask = jnp.logical_and(mask, q_idx >= k_idx)
         s = jnp.where(mask, s, NEG_INF)
         p = jnp.exp(s - lse[:, None])
-        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
+        dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
         ds = p * (dp - delta[:, None]) * sm_scale
-        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
         return dk, dv
 
     qb_start = k_start // block_q if causal else 0

@@ -67,6 +67,28 @@ def selective_scan(
 ) -> jax.Array:
     """y[b,l,i] = sum_n C[b,l,n] * h[b,l,i,n] + D[i]*u[b,l,i] where
     h_t = exp(delta_t A) h_{t-1} + delta_t B_t u_t."""
+    if use_custom_kernels and jax.default_backend() == "tpu" and u.shape[1] > chunk_size:
+        # fused Pallas fast path (discretization never hits HBM); backward
+        # falls back to the chunked XLA implementation's VJP
+        from .selective_scan_pallas import selective_scan_fused
+
+        return selective_scan_fused(u, delta, A, B, C, D).astype(u.dtype)
+    return selective_scan_xla(u, delta, A, B, C, D, chunk_size=chunk_size, use_custom_kernels=use_custom_kernels)
+
+
+def selective_scan_xla(
+    u: jax.Array,
+    delta: jax.Array,
+    A: jax.Array,
+    B: jax.Array,
+    C: jax.Array,
+    D: jax.Array,
+    *,
+    chunk_size: int = 256,
+    use_custom_kernels: bool = True,
+) -> jax.Array:
+    """Pure-XLA chunked/full associative-scan implementation (also the
+    backward path of the fused Pallas kernel)."""
     bsz, L, I = u.shape
     N = A.shape[1]
     dtype = u.dtype

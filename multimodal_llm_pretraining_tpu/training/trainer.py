@@ -120,10 +120,12 @@ class Trainer:
 
     def _to_device(self, host_batch: dict[str, np.ndarray]) -> dict[str, Any]:
         acc = self.plan.gradient_accumulation_steps
-        gbs = self.session.global_micro_batch_size()
         out = {}
         for k, v in host_batch.items():
-            v = np.asarray(v).reshape(acc, gbs, *np.asarray(v).shape[1:])
+            v = np.asarray(v)
+            # per-key leading dim: ViLT's itm_* arrays are 2x batch
+            per_micro = v.shape[0] // acc
+            v = v.reshape(acc, per_micro, *v.shape[1:])
             out[k] = jax.device_put(v, self.session.batch_sharding(v.ndim, leading_acc_dim=True))
         return out
 
