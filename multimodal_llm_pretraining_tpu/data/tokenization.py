@@ -95,6 +95,16 @@ def load_tokenizer(name_or_path: str | None = None, vocab_size: int = 128256):
 
 
 def pad_to(seqs: list[list[int]], pad_value: int, max_len: int | None = None) -> np.ndarray:
+    """Ragged -> padded [B, L]; uses the native C path when built
+    (``native/mlpt_native.cpp``), else numpy."""
+    try:
+        from .. import native
+
+        if native.available():
+            ids, _ = native.pad_batch(seqs, pad_value, max_len)
+            return ids
+    except Exception:
+        pass
     if max_len is None:
         max_len = max(len(s) for s in seqs)
     out = np.full((len(seqs), max_len), pad_value, np.int32)

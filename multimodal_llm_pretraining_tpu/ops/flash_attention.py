@@ -19,8 +19,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 128
-DEFAULT_BLOCK_K = 128
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
 NEG_INF = -1e30
 LANES = 128  # TPU lane width: per-row stats (lse/delta) carry a broadcast
 # trailing lane dim so their blocks satisfy Mosaic's (8, 128) tiling rule.
@@ -55,14 +55,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale, causal, block_
     qi = pl.program_id(1)
     q_start = qi * block_q
 
-    q = q_ref[0].astype(jnp.float32) * sm_scale
+    q = q_ref[0]
+    in_dtype = q.dtype
     num_kb = pl.cdiv(kv_seq, block_k)
 
     def body(kb, carry):
         acc, m_i, l_i = carry
-        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        # bf16 x bf16 -> f32 accumulation: native MXU path
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT) * sm_scale
 
         k_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         mask = k_idx < kv_seq
@@ -75,7 +77,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale, causal, block_
         p = jnp.exp(s - m_new[:, None])
         alpha = jnp.exp(m_i - m_new)
         l_i = l_i * alpha + jnp.sum(p, axis=1)
-        acc = acc * alpha[:, None] + jax.lax.dot(p, v_blk, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
+        acc = acc * alpha[:, None] + jax.lax.dot(p.astype(in_dtype), v_blk, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
         return acc, m_new, l_i
 
     if causal:
@@ -103,16 +105,17 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, s
     qi = pl.program_id(1)
     q_start = qi * block_q
 
-    q = q_ref[0].astype(jnp.float32) * sm_scale
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    in_dtype = q.dtype
+    do = do_ref[0]
     lse = lse_ref[0, :, 0]
     delta = delta_ref[0, :, 0]
     num_kb = pl.cdiv(kv_seq, block_k)
 
     def body(kb, dq):
-        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT) * sm_scale
         k_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         mask = k_idx < kv_seq
         if causal:
@@ -121,7 +124,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, s
         s = jnp.where(mask, s, NEG_INF)
         p = jnp.exp(s - lse[:, None])
         dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
-        ds = p * (dp - delta[:, None]) * sm_scale
+        ds = (p * (dp - delta[:, None]) * sm_scale).astype(in_dtype)
         return dq + jax.lax.dot(ds, k_blk, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
 
     if causal:
@@ -137,8 +140,9 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_
     ki = pl.program_id(1)
     k_start = ki * block_k
 
-    k_blk = k_ref[0].astype(jnp.float32)
-    v_blk = v_ref[0].astype(jnp.float32)
+    k_blk = k_ref[0]
+    v_blk = v_ref[0]
+    in_dtype = k_blk.dtype
     k_idx = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
     kv_keep = k_idx < kv_seq
     num_qb = pl.cdiv(q_seq, block_q)
@@ -146,8 +150,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_
     def body(qi, carry):
         dk, dv = carry
         # q stays unscaled here: ds already carries sm_scale, so dk = ds^T @ q
-        q = q_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(qi * block_q, block_q), :]
+        do = do_ref[0, pl.ds(qi * block_q, block_q), :]
         lse = lse_ref[0, pl.ds(qi * block_q, block_q), 0]
         delta = delta_ref[0, pl.ds(qi * block_q, block_q), 0]
         s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT) * sm_scale
@@ -157,9 +161,9 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_
             mask = jnp.logical_and(mask, q_idx >= k_idx)
         s = jnp.where(mask, s, NEG_INF)
         p = jnp.exp(s - lse[:, None])
-        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
+        dv = dv + jax.lax.dot_general(p.astype(in_dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
         dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
-        ds = p * (dp - delta[:, None]) * sm_scale
+        ds = (p * (dp - delta[:, None]) * sm_scale).astype(in_dtype)
         dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
         return dk, dv
 
