@@ -1,0 +1,27 @@
+"""Training-time tables per method (parity: plotting/training_time_tables.py:26-89
+-- the reference emits LaTeX tables of days-to-train per method/hardware)."""
+
+from . import load_results, standard_cli
+
+
+def training_time_table(num_hosts, chips_per_host, tpu_type, model, output=None):
+    """Days-to-train for every benchmarked method, best first."""
+    df = load_results(num_hosts, chips_per_host, tpu_type, model)
+    if df.empty:
+        print("no cached results; run scripts/benchmark.py first")
+        return
+    cols = ["method", "micro_batch_size", "step_time", "training_days"]
+    table = df[cols].sort_values("training_days")
+    if output and output.endswith(".tex"):
+        with open(output, "w") as f:
+            f.write(table.to_latex(index=False, float_format="%.3f"))
+        print(f"wrote {output}")
+    elif output:
+        table.to_csv(output, index=False)
+        print(f"wrote {output}")
+    else:
+        print(table.to_string(index=False))
+
+
+if __name__ == "__main__":
+    standard_cli(training_time_table)
