@@ -67,12 +67,15 @@ def main():
     tokens_per_step = micro_batch_size * n_chips * mc.sequence_length
     tokens_per_sec_per_chip = tokens_per_step / step_time / n_chips
 
-    # MFU from XLA cost analysis of the fwd+bwd microstep
-    flops_per_microstep = sess.count_step_flops(micro_batch_size=micro_batch_size)
+    # MFU from the analytic dense-transformer FLOPs count (XLA cost_analysis
+    # under-reports through Pallas kernels and some PJRT transports)
+    from multimodal_llm_pretraining_tpu.benchmarking.flops import analytic_flops_per_example
+
+    flops_per_example = analytic_flops_per_example(mc, backward=True, remat=plan.activation_checkpointing)
     mfu = None
     tpu_type = detect_local_tpu()
-    if flops_per_microstep and tpu_type:
-        achieved_tflops = flops_per_microstep / step_time / 1e12 / n_chips
+    if flops_per_example and tpu_type:
+        achieved_tflops = flops_per_example * micro_batch_size / step_time / 1e12
         mfu = achieved_tflops / peak_tflops(tpu_type, "bf16")
 
     vs_baseline = (mfu / 0.45) if mfu else None

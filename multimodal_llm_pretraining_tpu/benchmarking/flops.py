@@ -44,7 +44,6 @@ def analytic_flops_per_example(model_class: BaseModelClass, backward: bool = Tru
     workload, for families where the dense-transformer form applies."""
     mt = model_class.model_type
     if mt.startswith("pythia"):
-        from .. import models
         from ..models.pythia import PYTHIA_SIZES
 
         L, H, _ = PYTHIA_SIZES[mt]

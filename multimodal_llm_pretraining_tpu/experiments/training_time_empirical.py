@@ -8,7 +8,7 @@ of CUDA OOM catching).
 """
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, TypedDict
 
 from ..benchmarking.max_batch_size import find_max_mbs_pow2

@@ -12,11 +12,10 @@ per-size LRs, Adam betas (0.9, 0.95), cosine-to-10% schedule) matches
 from typing import Any, Literal
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from . import LanguageModelClass, ModelBundle, PythiaT, SchedulerType
-from .layers import Mlp, SelfAttention, cross_entropy_loss, make_stack
+from .layers import Mlp, SelfAttention, make_stack
 
 # (layers, hidden, heads) per published EleutherAI configs
 PYTHIA_SIZES: dict[str, tuple[int, int, int]] = {

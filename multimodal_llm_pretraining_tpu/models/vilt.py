@@ -21,7 +21,6 @@ Recipe: batch 128, 10k steps, fp32, AdamW 1e-4 wd 0.01, linear 10% warmup.
 (``:374-379``) even though remat would work.
 """
 
-import functools
 from typing import Any, Literal
 
 import flax.linen as nn

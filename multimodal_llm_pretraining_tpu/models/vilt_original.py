@@ -9,7 +9,6 @@ heads, ffn 3072, patch 32, vocab 30522) with BERT-width text embeddings
 """
 
 from .vilt import _ViltBase
-from . import ViltT  # noqa: F401
 
 _ORIGINAL_KWARGS = dict(
     hidden=768,

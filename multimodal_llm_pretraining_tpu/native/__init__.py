@@ -6,7 +6,6 @@ when a toolchain is present (cached as libmlpt_native.so next to the source).
 """
 
 import ctypes
-import os
 
 import numpy as np
 

@@ -18,8 +18,6 @@ The ``use_custom_kernels=False`` branch uses the same math with a plain
 (unchunked) associative scan -- the "slow path" parity branch.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

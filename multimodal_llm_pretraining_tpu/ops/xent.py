@@ -9,8 +9,6 @@ backward recomputes each chunk's logits. Peak logits memory drops from
 O(B*S*V) to O(chunk*V) at ~4% extra FLOPs (one recomputed vocab matmul).
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -27,8 +27,7 @@ from typing import Any
 import flax.struct
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from ..parallel.mesh import DATA_AXES, build_mesh
 from ..parallel.sharding import named_sharding, tree_shardings

@@ -96,6 +96,7 @@ class Trainer:
         collate_fn: Callable | None = None,
         resume: bool = True,
         seed: int = 0,
+        profile_dir: str | None = None,
     ):
         self.session = session
         self.plan = session.plan
@@ -104,6 +105,7 @@ class Trainer:
         self.log_steps = log_steps
         self.resume = resume
         self.seed = seed
+        self.profile_dir = profile_dir  # jax.profiler trace of steps 2-4
 
         acc = self.plan.gradient_accumulation_steps
         self.examples_per_step = acc * session.global_micro_batch_size()
@@ -145,8 +147,16 @@ class Trainer:
         t_last = time.perf_counter()
         metrics = {}
         for i in range(start_step, total):
+            # profiler trace as a value-add over the reference's wall-clock-only
+            # observability (SURVEY.md section 5.1)
+            if self.profile_dir and i == start_step + 1:
+                jax.profiler.start_trace(self.profile_dir)
             batch = self._to_device(next(it))
             state, metrics = step_fn(state, batch, rng)
+            if self.profile_dir and i == start_step + 3:
+                block_on(metrics)
+                jax.profiler.stop_trace()
+                logger.info(f"profiler trace written to {self.profile_dir}")
             if (i + 1) % self.log_steps == 0 or i + 1 == total:
                 block_on(metrics)
                 dt = (time.perf_counter() - t_last) / self.log_steps

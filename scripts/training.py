@@ -74,6 +74,7 @@ def main():
     p.add_argument("--save-steps", type=int, default=1000)
     p.add_argument("--log-steps", type=int, default=10)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--profile-dir", default=None, help="write a jax.profiler trace of steps 2-4")
     p.add_argument("--seed", type=int, default=0)
     a = p.parse_args()
 
@@ -96,6 +97,7 @@ def main():
         collate_fn=collator,
         resume=not a.no_resume,
         seed=a.seed,
+        profile_dir=a.profile_dir,
     )
     final = trainer.train(max_steps=a.max_steps)
     logger.info(f"training finished: {final}")

@@ -35,6 +35,18 @@ def run_two_steps(sess):
     return float(metrics["loss"])
 
 
+_baseline_loss_cache: dict[str, float] = {}
+
+
+def _baseline_loss() -> float:
+    if "loss" not in _baseline_loss_cache:
+        mc = get_model_class("pythia-14m")
+        base = tiny_plan(mc, sharding="").build_session(mc)
+        base.dataset.sequence_length = 33
+        _baseline_loss_cache["loss"] = run_two_steps(base)
+    return _baseline_loss_cache["loss"]
+
+
 @pytest.mark.parametrize(
     "sharding",
     ["", "zero_1", "zero_2", "zero_3", "fsdp_shard_grad_op", "fsdp_full_shard"],
@@ -48,12 +60,7 @@ def test_sharding_methods_agree(sharding):
     sess.dataset.sequence_length = 33
     loss = run_two_steps(sess)
     assert np.isfinite(loss)
-    # compare against the replicated baseline
-    base_plan = tiny_plan(mc, sharding="")
-    base = base_plan.build_session(mc)
-    base.dataset.sequence_length = 33
-    base_loss = run_two_steps(base)
-    np.testing.assert_allclose(loss, base_loss, rtol=2e-4)
+    np.testing.assert_allclose(loss, _baseline_loss(), rtol=2e-4)
 
 
 @pytest.mark.parametrize("sharding", ["fsdp_hybrid_shard", "fsdp_hybrid_shard_zero2", "zero_3++"])
