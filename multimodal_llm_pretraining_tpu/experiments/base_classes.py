@@ -84,19 +84,36 @@ class Experiment(abc.ABC):
 
     @classmethod
     def cli(cls) -> None:
+        """argparse CLI (the tyro analog): scalar fields map to flags;
+        dataclass fields (e.g. ``--config``) take a JSON object string."""
         import argparse
+        import dataclasses as dc
+        import json
+        import typing
 
+        hints = typing.get_type_hints(cls)
         parser = argparse.ArgumentParser(description=cls.__doc__)
         for f in fields(cls):
             arg = "--" + f.name.replace("_", "-")
-            if f.type is bool or f.type == "bool":
+            ftype = hints.get(f.name, str)
+            if ftype is bool:
                 parser.add_argument(arg, action="store_true")
             else:
                 parser.add_argument(arg, type=str)
         parser.add_argument("--slurm", action="store_true")
         ns = vars(parser.parse_args())
         slurm = ns.pop("slurm")
-        kwargs = {k: v for k, v in ns.items() if v is not None}
+        kwargs = {}
+        for k, v in ns.items():
+            if v is None:
+                continue
+            ftype = hints.get(k, str)
+            if dc.is_dataclass(ftype) and isinstance(v, str):
+                kwargs[k] = ftype(**json.loads(v))
+            elif ftype in (int, float) and isinstance(v, str):
+                kwargs[k] = ftype(v)
+            else:
+                kwargs[k] = v
         exp = cls(**kwargs)  # type: ignore[arg-type]
         exp.launch(slurm=slurm)
 

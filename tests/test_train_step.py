@@ -134,3 +134,44 @@ def test_grad_accum_equivalence():
     a = np.asarray(jax.tree.leaves(st1.params)[0])
     b = np.asarray(jax.tree.leaves(st2.params)[0])
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_frozen_params_under_sharded_optimizer():
+    """LLaVA-style freezing: masked params get no updates and no optimizer
+    state, even when optimizer state is ZeRO-sharded."""
+    import jax.numpy as jnp
+
+    mc = get_model_class("pythia-14m")
+    plan = tiny_plan(mc, sharding="zero_1", acc=1, mbs=2)
+    sess = plan.build_session(mc)
+    sess.dataset.sequence_length = 33
+
+    # freeze the embedding table via the bundle's trainable mask
+    shapes = jax.eval_shape(sess.bundle.init_fn, jax.random.key(0))
+    mask = jax.tree_util.tree_map_with_path(
+        lambda path, _: not any(str(getattr(p, "key", "")) == "embed_in" for p in path), shapes
+    )
+    sess.bundle.trainable_mask = mask
+    from multimodal_llm_pretraining_tpu.training.optimizer import build_optimizer
+
+    sess.tx = build_optimizer(
+        plan.optimizer, plan.optimizer_kwargs, plan.scheduler_type, plan.scheduler_kwargs,
+        num_training_steps=plan.num_training_steps, max_grad_norm=plan.max_grad_norm,
+        trainable_mask=mask,
+    )
+    from multimodal_llm_pretraining_tpu.parallel.sharding import tree_shardings
+
+    opt_shapes = jax.eval_shape(sess.tx.init, shapes)
+    sess.opt_sharding = tree_shardings(opt_shapes, sess.mesh, sess.policy.opt_state)
+
+    state = sess.init_state()
+    embed_before = np.asarray(state.params["embed_in"]["embedding"])
+    step = sess.train_step_fn()
+    # two steps: LR at step 0 is zero (warmup), so movement shows from step 2
+    for i in range(2):
+        state, _ = step(state, sess.make_train_batch(seed=i), jax.random.key(0))
+    embed_after = np.asarray(state.params["embed_in"]["embedding"])
+    np.testing.assert_array_equal(embed_before, embed_after)
+    # a trainable param did move
+    moved = np.asarray(state.params["final_ln"]["scale"])
+    assert not np.array_equal(moved, np.ones_like(moved))
