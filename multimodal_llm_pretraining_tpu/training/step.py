@@ -144,8 +144,10 @@ class TrainSession:
         return TrainState(step=step, params=params, opt_state=opt_state)
 
     def zero_grads(self):
-        zeros = functools.partial(jax.tree.map, lambda s: jnp.zeros(s.shape, s.dtype), self.param_shapes)
-        return jax.jit(zeros, out_shardings=self.grad_sharding)()
+        if "zeros" not in self._jitted:
+            zeros = functools.partial(jax.tree.map, lambda s: jnp.zeros(s.shape, s.dtype), self.param_shapes)
+            self._jitted["zeros"] = jax.jit(zeros, out_shardings=self.grad_sharding)
+        return self._jitted["zeros"]()
 
     # ----------------------------------------------------------- pure fns
 
