@@ -259,6 +259,10 @@ class MultimodalModelClass(Generic[T], BaseModelClass[T]):
                 vocab_size=self.vocab_size,
                 sequence_length=sequence_length,
                 image_size=self.image_size,
+                # reference hardcodes the llama mask token 128255
+                # (src/benchmarking/data.py:113), which is out of range for
+                # the 30522-vocab original-ViLT variant; clamp to the vocab
+                mask_token=min(128255, self.vocab_size - 1),
             )
         return DummyMultimodalLanguageModelingDataset(
             vocab_size=self.vocab_size,

@@ -130,7 +130,7 @@ class ViltEncoderModule(nn.Module):
         b, s_t = input_ids.shape
         # text embeddings: word -> projection -> + type + pos -> LN
         word = self.param("word_embeddings", nn.initializers.normal(0.02), (self.vocab_size, self.token_embed_dim))
-        t = jnp.take(word, input_ids, axis=0).astype(self.dtype)
+        t = jnp.take(word, input_ids, axis=0, mode="clip").astype(self.dtype)
         t = nn.Dense(self.hidden, dtype=self.dtype, name="text_projection")(t)
         type_emb = self.param("token_type_embeddings", nn.initializers.normal(0.02), (2, self.hidden))
         pos_emb = self.param("text_position_embeddings", nn.initializers.normal(0.02), (self.max_position, self.hidden))

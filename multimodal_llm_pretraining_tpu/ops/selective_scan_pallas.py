@@ -70,6 +70,15 @@ def selective_scan_pallas_fwd(
     block_i = min(block_i, I)
     block_l = min(block_l, L)
 
+    out_dtype = u.dtype
+    # f32 streams: discretization is fp32 math anyway, and Mosaic requires
+    # sublane-aligned dynamic indices for sub-fp32 tiles (the per-timestep
+    # pl.ds slice is stride-1)
+    u = u.astype(jnp.float32)
+    delta = delta.astype(jnp.float32)
+    B = B.astype(jnp.float32)
+    C = C.astype(jnp.float32)
+
     # pad L to a chunk multiple; padded delta=0 => identity transitions
     pad_l = (-L) % block_l
     if pad_l:
@@ -104,7 +113,7 @@ def selective_scan_pallas_fwd(
     )(delta, u, B, C, A)
 
     y = y[:, :L]
-    return (y + D.astype(jnp.float32) * u[:, :L].astype(jnp.float32)).astype(u.dtype)
+    return (y + D.astype(jnp.float32) * u[:, :L]).astype(out_dtype)
 
 
 @jax.custom_vjp
