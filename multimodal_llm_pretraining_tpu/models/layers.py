@@ -37,12 +37,15 @@ def rotary_angles(positions: jax.Array, rotary_dim: int, base: float = 10000.0, 
 
 def apply_rotary(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     """Rotate the first ``2 * cos.shape[-1]`` head dims (GPTNeoX/Llama
-    rotate-half convention). x: [B, H, S, D]."""
+    rotate-half convention). x: [B, H, S, D]. Arithmetic runs in x's dtype
+    (bf16 under mixed precision: the angle tables are fp32-accurate, and the
+    product is elementwise -- keeping fp32 here doubled HBM traffic for no
+    accuracy the MXU could see)."""
     rot = cos.shape[-1] * 2
     x_rot, x_pass = x[..., :rot], x[..., rot:]
     x1, x2 = x_rot[..., : rot // 2], x_rot[..., rot // 2 :]
-    cos = cos[None, None, :, :]
-    sin = sin[None, None, :, :]
+    cos = cos[None, None, :, :].astype(x.dtype)
+    sin = sin[None, None, :, :].astype(x.dtype)
     out1 = x1 * cos - x2 * sin
     out2 = x2 * cos + x1 * sin
     x_rot = jnp.concatenate([out1, out2], axis=-1)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from ..parallel.mesh import DATA_AXES, build_mesh
-from ..parallel.sharding import named_sharding, tree_shardings
+from ..parallel.sharding import host_offload_supported, named_sharding, tree_shardings
 from ..utils import get_logger
 from .optimizer import build_optimizer
 
@@ -84,6 +84,10 @@ class TrainSession:
         self.opt_sharding = tree_shardings(
             opt_shapes, self.mesh, self.policy.opt_state, offload=self.policy.offload_optimizer, tp_rules=tp
         )
+        # device-memory twins for offloaded state: computation happens in HBM,
+        # in/out shardings carry the host<->device transfers
+        self.param_device_sharding = tree_shardings(param_shapes, self.mesh, self.policy.params, tp_rules=tp)
+        self.opt_device_sharding = tree_shardings(opt_shapes, self.mesh, self.policy.opt_state, tp_rules=tp)
         self.repl_sharding = named_sharding(self.mesh, P())
         self.param_shapes = param_shapes
 
@@ -151,7 +155,20 @@ class TrainSession:
 
     # ----------------------------------------------------------- pure fns
 
+    def _fetch_params(self, params):
+        """Host-offloaded params (ZeRO-3 offload_param analog) stream to HBM
+        at the top of the step; without offload this is the identity."""
+        if self.policy.offload_params and host_offload_supported():
+            return jax.device_put(params, self.param_device_sharding)
+        return params
+
+    def _fetch_opt(self, opt_state):
+        if self.policy.offload_optimizer and host_offload_supported():
+            return jax.device_put(opt_state, self.opt_device_sharding)
+        return opt_state
+
     def _loss(self, params, batch, rng):
+        params = self._fetch_params(params)
         with jax.default_matmul_precision(self.plan.matmul_precision):
             loss, metrics = self.bundle.loss_fn(params, batch, rng=rng, train=True)
         return loss, metrics
@@ -164,9 +181,12 @@ class TrainSession:
     def _optimizer_update(self, params, opt_state, grads, acc_steps):
         import optax
 
+        params_c = self._fetch_params(params)
+        opt_state = self._fetch_opt(opt_state)
         grads = jax.tree.map(lambda g: g / acc_steps, grads)
-        updates, opt_state = self.tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        updates, opt_state = self.tx.update(grads, opt_state, params_c)
+        params = optax.apply_updates(params_c, updates)
+        # out_shardings (host memory kinds) move offloaded state back
         return params, opt_state
 
     def _train_step(self, state: TrainState, batch, rng):
