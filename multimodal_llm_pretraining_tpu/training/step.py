@@ -108,11 +108,29 @@ class TrainSession:
             return named_sharding(self.mesh, P(None, DATA_AXES, *([None] * (ndim - 2))))
         return named_sharding(self.mesh, P(DATA_AXES, *([None] * (ndim - 1))))
 
+    def put_batch_array(self, v, leading_acc_dim: bool = False):
+        """Host array -> global sharded device array.
+
+        Single process: plain device_put. Multi-host: every process holds the
+        full batch (synthesized or collated identically from the shared seed)
+        and contributes only the slice its local devices own
+        (``make_array_from_process_local_data``) -- the torchrunx-free
+        equivalent of per-rank dataloaders.
+        """
+        sharding = self.batch_sharding(v.ndim, leading_acc_dim=leading_acc_dim)
+        if jax.process_count() == 1:
+            return jax.device_put(v, sharding)
+        dim = 1 if leading_acc_dim else 0
+        per = v.shape[dim] // jax.process_count()
+        start = jax.process_index() * per
+        index = (slice(None),) * dim + (slice(start, start + per),)
+        return jax.make_array_from_process_local_data(sharding, v[index], v.shape)
+
     def make_micro_batch(self, micro_batch_size: int | None = None, seed: int = 0):
         """One global microbatch, host->device with data-axis sharding."""
         gbs = self.global_micro_batch_size(micro_batch_size)
         host = self.dataset.sample_batch(gbs, seed=seed)
-        return {k: jax.device_put(v, self.batch_sharding(v.ndim)) for k, v in host.items()}
+        return {k: self.put_batch_array(v) for k, v in host.items()}
 
     def make_train_batch(self, seed: int = 0):
         """[acc, global_mbs, ...] stacked batch for the fused step."""
@@ -122,7 +140,7 @@ class TrainSession:
         out = {}
         for k, v in host.items():
             v = v.reshape(acc, gbs, *v.shape[1:])
-            out[k] = jax.device_put(v, self.batch_sharding(v.ndim, leading_acc_dim=True))
+            out[k] = self.put_batch_array(v, leading_acc_dim=True)
         return out
 
     def micro_batch_specs(self, micro_batch_size: int | None = None, leading_acc_dim: bool = False):

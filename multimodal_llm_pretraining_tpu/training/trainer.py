@@ -128,7 +128,7 @@ class Trainer:
             # per-key leading dim: ViLT's itm_* arrays are 2x batch
             per_micro = v.shape[0] // acc
             v = v.reshape(acc, per_micro, *v.shape[1:])
-            out[k] = jax.device_put(v, self.session.batch_sharding(v.ndim, leading_acc_dim=True))
+            out[k] = self.session.put_batch_array(v, leading_acc_dim=True)
         return out
 
     def train(self, max_steps: int | None = None) -> dict[str, float]:
