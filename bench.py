@@ -71,7 +71,9 @@ def main():
     # under-reports through Pallas kernels and some PJRT transports)
     from multimodal_llm_pretraining_tpu.benchmarking.flops import analytic_flops_per_example
 
-    flops_per_example = analytic_flops_per_example(mc, backward=True, remat=plan.activation_checkpointing)
+    # standard MFU: useful fwd+bwd FLOPs only (remat recompute is overhead,
+    # not model work)
+    flops_per_example = analytic_flops_per_example(mc, backward=True, remat=False)
     mfu = None
     tpu_type = detect_local_tpu()
     if flops_per_example and tpu_type:

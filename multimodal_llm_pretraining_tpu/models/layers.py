@@ -149,14 +149,22 @@ class GatedMlp(nn.Module):
 
 
 def make_stack(block_cls, num_layers: int, remat: bool, name: str = "layers", **block_kwargs):
-    """Scan a block over the layer axis; optional full remat per block.
+    """Scan a block over the layer axis; optional remat per block.
+
+    Remat policy: everything recomputes except the flash-attention residuals
+    (``flash_out``/``flash_lse``, named in ``ops/flash_attention.py``) --
+    re-running the attention kernel in the backward pass costs far more than
+    storing its [B,H,S,D] output. When no flash kernel is in the graph (XLA
+    attention path) the policy saves nothing, i.e. plain full remat, matching
+    HF ``gradient_checkpointing`` semantics.
 
     Returns a module instance whose __call__ is (carry, inputs...) -> carry.
     Blocks must have signature ``__call__(self, x, *args)`` returning x.
     """
     cls = block_cls
     if remat:
-        cls = nn.remat(cls, prevent_cse=False, static_argnums=())
+        policy = jax.checkpoint_policies.save_only_these_names("flash_out", "flash_lse")
+        cls = nn.remat(cls, prevent_cse=False, static_argnums=(), policy=policy)
     scanned = nn.scan(
         cls,
         variable_axes={"params": 0},

@@ -214,7 +214,14 @@ def _flash(q, k, v, causal, sm_scale, block_q, block_k):
 
 
 def _flash_fwd_rule(q, k, v, causal, sm_scale, block_q, block_k):
+    from jax.ad_checkpoint import checkpoint_name
+
     out, lse = _fwd_impl(q, k, v, causal, sm_scale, block_q, block_k)
+    # named so remat policies can keep the attention residuals (out is
+    # [BH,S,D] bf16, lse [BH,S] f32 -- tiny next to recomputing the kernel);
+    # see models.layers.make_stack's default policy
+    out = checkpoint_name(out, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
     return out, (q, k, v, out, lse)
 
 
