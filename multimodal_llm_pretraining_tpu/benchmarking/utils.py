@@ -59,11 +59,14 @@ class BenchmarkHarness:
     # ------------------------------------------------------------ memory
 
     def persistent_state_bytes(self) -> int:
-        """Per-device bytes of live state the accumulate program does NOT see
-        as arguments (optimizer state): XLA's compile-time HBM check misses
-        these, so the budget check must add them."""
-        from ..parallel.sharding import shard_bytes_per_device
+        """Per-device HBM bytes of live state the accumulate program does NOT
+        see as arguments (optimizer state): XLA's compile-time check misses
+        these, so the budget check must add them. Host-offloaded optimizer
+        state lives in pinned host memory and costs no HBM."""
+        from ..parallel.sharding import host_offload_supported, shard_bytes_per_device
 
+        if self.session.policy.offload_optimizer and host_offload_supported():
+            return 0
         opt_shapes = jax.eval_shape(self.session.tx.init, self.session.param_shapes)
         return shard_bytes_per_device(opt_shapes, self.session.mesh, self.session.policy.opt_state)
 

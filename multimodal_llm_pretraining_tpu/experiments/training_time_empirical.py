@@ -49,7 +49,7 @@ def find_largest_batch_size_worker(config: TrainingConfig, limit: int) -> int:
     return find_max_mbs_pow2(harness, limit=limit, hbm_budget_bytes=device_hbm_bytes(config.tpu_type))
 
 
-@step(cacheable=True, version="001")
+@step(cacheable=True, version="002")
 def find_largest_batch_size(config: TrainingConfig, limit: int) -> int:
     return distribute(
         func=find_largest_batch_size_worker,
@@ -79,7 +79,7 @@ def benchmark_step_time_worker(
         return None
 
 
-@step(cacheable=True, version="001")
+@step(cacheable=True, version="002")
 def benchmark_step_time(
     config: TrainingConfig,
     max_micro_batch_size: int,
@@ -130,7 +130,7 @@ def benchmark_step_time(
     return None
 
 
-@step(cacheable=True, version="001")
+@step(cacheable=True, version="002")
 def compute_training_days(benchmarking_results: BenchmarkingResults | None, num_steps: int) -> float | None:
     """Total training time in days (reference ``:133-138``)."""
     if benchmarking_results is None:
