@@ -124,7 +124,11 @@ def named_sharding(mesh: Mesh, spec: P, offload: bool = False) -> NamedSharding:
 
 @functools.cache
 def host_offload_supported() -> bool:
-    """Whether this backend exposes a pinned_host memory space."""
+    """Whether this backend exposes a usable pinned_host memory space.
+    Restricted to TPU: the CPU backend advertises the memory kind but its
+    SPMD partitioner rejects mixed-memory programs."""
+    if jax.default_backend() != "tpu":
+        return False
     try:
         dev = jax.local_devices()[0]
         dev.memory("pinned_host")

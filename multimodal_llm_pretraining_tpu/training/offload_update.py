@@ -1,0 +1,144 @@
+"""Streaming optimizer update for host-offloaded state.
+
+DeepSpeed's CPU offload works because its C++ CPU-Adam updates parameters
+where the optimizer state lives; a naive TPU translation (fetch the whole
+Adam state to HBM, update, send back) needs params + grads + m + v
+simultaneously on device -- ~20 GB for pythia-1b, defeating the point.
+
+This updater streams instead: the Adam moments stay in pinned host memory
+between steps, and the update runs leaf by leaf -- fetch one leaf's (m, v),
+apply the update on device, write back. Peak extra HBM is one leaf
+(layer-stacked trees have ~16 leaves), so a model whose optimizer state is
+2x its parameters fits on a chip with barely more HBM than the parameters.
+
+Semantics match ``training/optimizer.py`` exactly (same schedule, global-norm
+clipping, torch-Adam L2 vs AdamW decay, bias correction, frozen-param
+masks); ``tests/test_offload_update.py`` locks numerical parity with the
+optax path.
+"""
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..models import OptimizerT, SchedulerType
+from ..parallel.sharding import named_sharding
+from .optimizer import build_schedule
+
+
+class StreamingOffloadUpdater:
+    """Hand-rolled Adam/AdamW with host-resident moments.
+
+    opt_state pytree: {"count": scalar, "mu": params-like, "nu": params-like}.
+    """
+
+    def __init__(
+        self,
+        optimizer: OptimizerT,
+        optimizer_kwargs: dict[str, Any],
+        scheduler_type: SchedulerType,
+        scheduler_kwargs: dict[str, Any],
+        num_training_steps: int,
+        max_grad_norm: float,
+        trainable_mask=None,
+    ):
+        kwargs = dict(optimizer_kwargs)
+        self.lr_base = float(kwargs.pop("lr"))
+        self.b1, self.b2 = kwargs.pop("betas", (0.9, 0.999))
+        self.eps = float(kwargs.pop("eps", 1e-8))
+        self.weight_decay = float(kwargs.pop("weight_decay", 0.0))
+        self.decoupled = optimizer == "adamw"
+        self.max_grad_norm = max_grad_norm
+        self.schedule = build_schedule(scheduler_type, scheduler_kwargs, self.lr_base, num_training_steps)
+        self.trainable_mask = trainable_mask
+        self._leaf_update = jax.jit(self._leaf_update_impl, donate_argnums=(0, 2, 3), static_argnums=(6,))
+        self._sq_sum = jax.jit(lambda g: jnp.sum(jnp.square(g.astype(jnp.float32))))
+
+    # ------------------------------------------------------------ state
+
+    def init(self, params):
+        zeros = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
+        return {"count": jnp.zeros((), jnp.int32), "mu": zeros, "nu": jax.tree.map(jnp.copy, zeros)}
+
+    # ------------------------------------------------------------ update
+
+    def _leaf_update_impl(self, p, g, mu, nu, scale, count, trainable):
+        if not trainable:
+            return p, mu, nu
+        g = g.astype(jnp.float32) * scale
+        if self.weight_decay and not self.decoupled:
+            g = g + self.weight_decay * p  # torch.optim.Adam L2 semantics
+        mu = self.b1 * mu + (1 - self.b1) * g
+        nu = self.b2 * nu + (1 - self.b2) * jnp.square(g)
+        t = count + 1
+        mu_hat = mu / (1 - self.b1**t.astype(jnp.float32))
+        nu_hat = nu / (1 - self.b2**t.astype(jnp.float32))
+        lr = self.schedule(count)
+        step = lr * mu_hat / (jnp.sqrt(nu_hat) + self.eps)
+        if self.weight_decay and self.decoupled:
+            step = step + lr * self.weight_decay * p
+        return (p - step).astype(p.dtype), mu, nu
+
+    def __call__(self, params, opt_state, grads, acc_steps: float, mesh=None):
+        """Streaming update. params/grads on device; mu/nu wherever their
+        shardings put them (pinned host under offload)."""
+        count = opt_state["count"]
+        inv_acc = 1.0 / float(acc_steps)
+
+        if self.max_grad_norm and self.max_grad_norm > 0:
+            sq = jnp.sum(jnp.stack([self._sq_sum(g) for g in jax.tree.leaves(grads)]))
+            gnorm = jnp.sqrt(sq) * inv_acc
+            clip_scale = jnp.minimum(1.0, self.max_grad_norm / jnp.maximum(gnorm, 1e-12)) * inv_acc
+        else:
+            clip_scale = jnp.asarray(inv_acc, jnp.float32)
+
+        p_leaves, treedef = jax.tree_util.tree_flatten(params)
+        g_leaves = treedef.flatten_up_to(grads)
+        mu_leaves = treedef.flatten_up_to(opt_state["mu"])
+        nu_leaves = treedef.flatten_up_to(opt_state["nu"])
+        mask_leaves = (
+            treedef.flatten_up_to(self.trainable_mask) if self.trainable_mask is not None else [True] * len(p_leaves)
+        )
+
+        new_p, new_mu, new_nu = [], [], []
+        for p, g, mu, nu, tr in zip(p_leaves, g_leaves, mu_leaves, nu_leaves, mask_leaves):
+            mu_sh = getattr(mu, "sharding", None)
+            p_sh = getattr(p, "sharding", None)
+            mu_d = jax.device_put(mu, _device_twin(mu_sh, mesh)) if _is_host(mu_sh) else mu
+            nu_d = jax.device_put(nu, _device_twin(mu_sh, mesh)) if _is_host(mu_sh) else nu
+            p_d = jax.device_put(p, _device_twin(p_sh, mesh)) if _is_host(p_sh) else p
+            p2, mu2, nu2 = self._leaf_update(p_d, g, mu_d, nu_d, clip_scale, count, bool(tr))
+            if _is_host(mu_sh):
+                mu2 = jax.device_put(mu2, mu_sh)
+                nu2 = jax.device_put(nu2, mu_sh)
+            if _is_host(p_sh):
+                p2 = jax.device_put(p2, p_sh)
+            new_p.append(p2)
+            new_mu.append(mu2)
+            new_nu.append(nu2)
+
+        return (
+            jax.tree_util.tree_unflatten(treedef, new_p),
+            {
+                "count": count + 1,
+                "mu": jax.tree_util.tree_unflatten(treedef, new_mu),
+                "nu": jax.tree_util.tree_unflatten(treedef, new_nu),
+            },
+        )
+
+
+def _is_host(sharding) -> bool:
+    return getattr(sharding, "memory_kind", None) == "pinned_host"
+
+
+def _device_twin(sharding, mesh):
+    from jax.sharding import NamedSharding
+
+    if isinstance(sharding, NamedSharding):
+        return NamedSharding(sharding.mesh, sharding.spec)
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        return named_sharding(mesh, P())
+    return jax.devices()[0]

@@ -62,18 +62,39 @@ class TrainSession:
         )
         self.dataset = model_class.load_dummy_dataset()
 
-        self.tx = build_optimizer(
-            plan.optimizer,
-            plan.optimizer_kwargs or model_class.optimizer_kwargs,
-            plan.scheduler_type,
-            plan.scheduler_kwargs,
-            num_training_steps=plan.num_training_steps,
-            max_grad_norm=plan.max_grad_norm,
-            trainable_mask=self.bundle.trainable_mask,
-        )
+        # Host-offloaded optimizer state uses the streaming leaf-by-leaf
+        # updater (training/offload_update.py): fetching the whole Adam state
+        # to HBM would defeat the offload.
+        self.streaming_offload = self.policy.offload_optimizer and host_offload_supported()
+        opt_kwargs = plan.optimizer_kwargs or model_class.optimizer_kwargs
+        if self.streaming_offload:
+            from .offload_update import StreamingOffloadUpdater
+
+            self.updater = StreamingOffloadUpdater(
+                plan.optimizer,
+                opt_kwargs,
+                plan.scheduler_type,
+                plan.scheduler_kwargs,
+                num_training_steps=plan.num_training_steps,
+                max_grad_norm=plan.max_grad_norm,
+                trainable_mask=self.bundle.trainable_mask,
+            )
+            self.tx = type("TxFacade", (), {"init": staticmethod(self.updater.init)})()
+        else:
+            self.updater = None
+            self.tx = build_optimizer(
+                plan.optimizer,
+                opt_kwargs,
+                plan.scheduler_type,
+                plan.scheduler_kwargs,
+                num_training_steps=plan.num_training_steps,
+                max_grad_norm=plan.max_grad_norm,
+                trainable_mask=self.bundle.trainable_mask,
+            )
 
         # Shardings from abstract shapes (no allocation).
         rng = jax.random.key(0)
+        self.repl_sharding = named_sharding(self.mesh, P())
         param_shapes = jax.eval_shape(self.bundle.init_fn, rng)
         opt_shapes = jax.eval_shape(self.tx.init, param_shapes)
         tp = self.bundle.tp_rules
@@ -81,14 +102,21 @@ class TrainSession:
             param_shapes, self.mesh, self.policy.params, offload=self.policy.offload_params, tp_rules=tp
         )
         self.grad_sharding = tree_shardings(param_shapes, self.mesh, self.policy.grads, tp_rules=tp)
-        self.opt_sharding = tree_shardings(
-            opt_shapes, self.mesh, self.policy.opt_state, offload=self.policy.offload_optimizer, tp_rules=tp
-        )
+        if self.streaming_offload:
+            # moments host-resident; the step counter stays on device
+            self.opt_sharding = {
+                "count": self.repl_sharding,
+                "mu": tree_shardings(param_shapes, self.mesh, self.policy.opt_state, offload=True, tp_rules=tp),
+                "nu": tree_shardings(param_shapes, self.mesh, self.policy.opt_state, offload=True, tp_rules=tp),
+            }
+        else:
+            self.opt_sharding = tree_shardings(
+                opt_shapes, self.mesh, self.policy.opt_state, offload=self.policy.offload_optimizer, tp_rules=tp
+            )
         # device-memory twins for offloaded state: computation happens in HBM,
         # in/out shardings carry the host<->device transfers
         self.param_device_sharding = tree_shardings(param_shapes, self.mesh, self.policy.params, tp_rules=tp)
         self.opt_device_sharding = tree_shardings(opt_shapes, self.mesh, self.policy.opt_state, tp_rules=tp)
-        self.repl_sharding = named_sharding(self.mesh, P())
         self.param_shapes = param_shapes
 
         self._jitted: dict[str, Any] = {}
@@ -207,23 +235,30 @@ class TrainSession:
         # out_shardings (host memory kinds) move offloaded state back
         return params, opt_state
 
-    def _train_step(self, state: TrainState, batch, rng):
+    def _compute_grads(self, params, batch, rng, step):
+        """Grad-accumulation over the batch's leading dim; returns summed
+        grads and summed loss."""
         acc = self.plan.gradient_accumulation_steps
-        rng = jax.random.fold_in(rng, state.step)
+        rng = jax.random.fold_in(rng, step)
 
         if acc == 1:
             # no accumulation buffer needed: grads flow straight to the update
             micro_batch = {k: v[0] for k, v in batch.items()}
-            (loss_sum, _m), grads = jax.value_and_grad(self._loss, has_aux=True)(state.params, micro_batch, rng)
+            (loss_sum, _m), grads = jax.value_and_grad(self._loss, has_aux=True)(params, micro_batch, rng)
         else:
             def micro(carry, mb):
                 grads, loss_sum = carry
-                g, loss = self._accumulate(state.params, grads, mb, rng)
+                g, loss = self._accumulate(params, grads, mb, rng)
                 return (g, loss_sum + loss), None
 
             grads0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), self.param_shapes)
             (grads, loss_sum), _ = jax.lax.scan(micro, (grads0, jnp.zeros((), jnp.float32)), batch)
         grads = jax.lax.with_sharding_constraint(grads, self.grad_sharding)
+        return grads, loss_sum
+
+    def _train_step(self, state: TrainState, batch, rng):
+        acc = self.plan.gradient_accumulation_steps
+        grads, loss_sum = self._compute_grads(state.params, batch, rng, state.step)
         params, opt_state = self._optimizer_update(state.params, state.opt_state, grads, float(acc))
         new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
         return new_state, {"loss": loss_sum / acc}
@@ -242,6 +277,11 @@ class TrainSession:
         return self._jitted["acc"]
 
     def optimizer_update_fn(self):
+        if self.streaming_offload:
+            def streamed(params, opt_state, grads, acc_steps):
+                return self.updater(params, opt_state, grads, acc_steps, mesh=self.mesh)
+
+            return streamed
         if "upd" not in self._jitted:
             self._jitted["upd"] = jax.jit(
                 self._optimizer_update,
@@ -252,8 +292,33 @@ class TrainSession:
             )
         return self._jitted["upd"]
 
+    def grads_fn(self):
+        """jit of the full grad-accumulation pass (no update)."""
+        if "grads" not in self._jitted:
+            self._jitted["grads"] = jax.jit(
+                self._compute_grads,
+                in_shardings=(self.param_sharding, None, self.repl_sharding, self.repl_sharding),
+                out_shardings=(self.grad_sharding, self.repl_sharding),
+            )
+        return self._jitted["grads"]
+
     def train_step_fn(self):
-        """The fused production step: scan over microbatches + update."""
+        """The production step: scan over microbatches + optimizer update.
+
+        Fused into one XLA program normally; with a host-offloaded optimizer
+        the update runs as the streaming leaf-by-leaf pass instead (the
+        moments never fit in HBM all at once)."""
+        if self.streaming_offload:
+            acc = self.plan.gradient_accumulation_steps
+            gfn = self.grads_fn()
+            update = self.optimizer_update_fn()
+
+            def stepped(state: TrainState, batch, rng):
+                grads, loss_sum = gfn(state.params, batch, rng, state.step)
+                params, opt_state = update(state.params, state.opt_state, grads, float(acc))
+                return TrainState(step=state.step + 1, params=params, opt_state=opt_state), {"loss": loss_sum / acc}
+
+            return stepped
         if "step" not in self._jitted:
             state_shardings = TrainState(step=self.repl_sharding, params=self.param_sharding, opt_state=self.opt_sharding)
             self._jitted["step"] = jax.jit(
