@@ -203,9 +203,15 @@ class TrainSession:
 
     def _fetch_params(self, params):
         """Host-offloaded params (ZeRO-3 offload_param analog) stream to HBM
-        at the top of the step; without offload this is the identity."""
+        at the top of the step; zero_3++ gathers sharded params with int8
+        communication (``ops/quantized_comm.py``); otherwise identity (GSPMD
+        inserts plain all-gathers from the sharding specs)."""
         if self.policy.offload_params and host_offload_supported():
-            return jax.device_put(params, self.param_device_sharding)
+            params = jax.device_put(params, self.param_device_sharding)
+        if self.policy.quantized_comms and self.mesh.shape["data"] > 1:
+            from ..ops.quantized_comm import quantized_gather_tree
+
+            params = quantized_gather_tree(params, self.param_device_sharding, self.mesh, out_dtype=self.plan.compute_dtype)
         return params
 
     def _fetch_opt(self, opt_state):
