@@ -14,8 +14,6 @@ bytes are tiny (biases, norms) gather unquantized -- the reference's
 persistence-threshold behavior.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental.shard_map import shard_map

@@ -4,7 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from multimodal_llm_pretraining_tpu.ops.quantized_comm import quantized_all_gather
 from multimodal_llm_pretraining_tpu.parallel.mesh import MeshConfig, build_mesh

@@ -139,8 +139,6 @@ def test_grad_accum_equivalence():
 def test_frozen_params_under_sharded_optimizer():
     """LLaVA-style freezing: masked params get no updates and no optimizer
     state, even when optimizer state is ZeRO-sharded."""
-    import jax.numpy as jnp
-
     mc = get_model_class("pythia-14m")
     plan = tiny_plan(mc, sharding="zero_1", acc=1, mbs=2)
     sess = plan.build_session(mc)
