@@ -221,6 +221,14 @@ class TrainSession:
 
     def _loss(self, params, batch, rng):
         params = self._fetch_params(params)
+        if self.bundle.trainable_mask is not None:
+            # requires_grad=False analog (src/models/llava.py:49-52): stop
+            # gradients at frozen subtrees so XLA dead-code-eliminates their
+            # backward entirely (projector-only LLaVA pretraining backprops
+            # through ~0.4% of the parameters)
+            params = jax.tree.map(
+                lambda p, t: p if t else jax.lax.stop_gradient(p), params, self.bundle.trainable_mask
+            )
         with jax.default_matmul_precision(self.plan.matmul_precision):
             loss, metrics = self.bundle.loss_fn(params, batch, rng=rng, train=True)
         return loss, metrics
