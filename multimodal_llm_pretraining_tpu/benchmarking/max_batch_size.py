@@ -37,8 +37,12 @@ def find_max_mbs_pow2(
             harness.manual_optimization_step()
             break
         except OutOfMemory:
-            logger.info(f"mbs={best} passed static check but OOMed at runtime; halving")
-            harness.release_probe()
+            logger.info(f"mbs={best} passed static check but OOMed at runtime; rebuilding state and halving")
             best //= 2
+            try:
+                harness.reset()  # a runtime OOM can poison live buffers
+            except OutOfMemory:
+                logger.info("state rebuild itself OOMed; giving up on this config")
+                return 0
 
     return best

@@ -70,7 +70,24 @@ class BenchmarkHarness:
         opt_shapes = jax.eval_shape(self.session.tx.init, self.session.param_shapes)
         return shard_bytes_per_device(opt_shapes, self.session.mesh, self.session.policy.opt_state)
 
-    def fits(self, micro_batch_size: int, hbm_budget_bytes: int | None = None, safety: float = 0.97) -> bool:
+    def reset(self) -> None:
+        """Delete and rebuild device state after a runtime OOM (a failed
+        execution can leave the allocator poisoned; dropping every live
+        buffer and re-initializing is the only in-process recovery)."""
+        for tree in (self.state, self.grads):
+            for leaf in jax.tree.leaves(tree):
+                try:
+                    leaf.delete()
+                except Exception:
+                    pass
+        self._acc_compiled.clear()
+        self._jitted_cleanup()
+        self.setup()
+
+    def _jitted_cleanup(self) -> None:
+        self.session._jitted.clear()
+
+    def fits(self, micro_batch_size: int, hbm_budget_bytes: int | None = None, safety: float = 0.94) -> bool:
         """Static fit check: AOT-compile the accumulate step for this mbs.
 
         Two gates, neither of which executes anything:
