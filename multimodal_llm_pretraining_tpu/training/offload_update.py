@@ -58,7 +58,13 @@ class StreamingOffloadUpdater:
     # ------------------------------------------------------------ state
 
     def init(self, params):
-        zeros = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
+        if self.trainable_mask is not None:
+            # frozen leaves carry 0-d placeholders: no moments allocated
+            zeros = jax.tree.map(
+                lambda p, m: jnp.zeros(p.shape if m else (), jnp.float32), params, self.trainable_mask
+            )
+        else:
+            zeros = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
         return {"count": jnp.zeros((), jnp.int32), "mu": zeros, "nu": jax.tree.map(jnp.copy, zeros)}
 
     # ------------------------------------------------------------ update

@@ -119,6 +119,18 @@ class TrainSession:
         self.opt_device_sharding = tree_shardings(opt_shapes, self.mesh, self.policy.opt_state, tp_rules=tp)
         self.param_shapes = param_shapes
 
+        # Gradients exist only for trainable leaves (requires_grad parity:
+        # torch never allocates frozen grads -- 6 GB of zeros for LLaVA's
+        # frozen tower+LM otherwise). Frozen slots carry 0-d placeholders,
+        # which broadcast harmlessly through both optimizer paths.
+        if self.bundle.trainable_mask is not None:
+            self.grad_shapes = jax.tree.map(
+                lambda s, m: s if m else jax.ShapeDtypeStruct((), s.dtype), param_shapes, self.bundle.trainable_mask
+            )
+            self.grad_sharding = tree_shardings(self.grad_shapes, self.mesh, self.policy.grads, tp_rules=tp)
+        else:
+            self.grad_shapes = param_shapes
+
         self._jitted: dict[str, Any] = {}
 
     # ----------------------------------------------------------- data plumbing
@@ -195,7 +207,7 @@ class TrainSession:
 
     def zero_grads(self):
         if "zeros" not in self._jitted:
-            zeros = functools.partial(jax.tree.map, lambda s: jnp.zeros(s.shape, s.dtype), self.param_shapes)
+            zeros = functools.partial(jax.tree.map, lambda s: jnp.zeros(s.shape, s.dtype), self.grad_shapes)
             self._jitted["zeros"] = jax.jit(zeros, out_shardings=self.grad_sharding)
         return self._jitted["zeros"]()
 
@@ -233,8 +245,31 @@ class TrainSession:
             loss, metrics = self.bundle.loss_fn(params, batch, rng=rng, train=True)
         return loss, metrics
 
+    def _value_and_grad(self, params, batch, rng):
+        """value_and_grad over trainable leaves only; frozen slots come back
+        as 0-d zeros so the grads pytree keeps the params treedef."""
+        mask = self.bundle.trainable_mask
+        if mask is None:
+            return jax.value_and_grad(self._loss, has_aux=True)(params, batch, rng)
+
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        mask_leaves = treedef.flatten_up_to(mask)
+        trainable = [l for l, m in zip(leaves, mask_leaves) if m]
+        frozen = [l for l, m in zip(leaves, mask_leaves) if not m]
+
+        def merge(t_list, f_list):
+            it, if_ = iter(t_list), iter(f_list)
+            return jax.tree_util.tree_unflatten(treedef, [next(it) if m else next(if_) for m in mask_leaves])
+
+        def loss_of_trainable(t_list):
+            return self._loss(merge(t_list, frozen), batch, rng)
+
+        (loss, aux), g_t = jax.value_and_grad(loss_of_trainable, has_aux=True)(trainable)
+        zeros = [jnp.zeros((), l.dtype) for l in frozen]
+        return (loss, aux), merge(g_t, zeros)
+
     def _accumulate(self, params, grads, batch, rng):
-        (loss, _metrics), g = jax.value_and_grad(self._loss, has_aux=True)(params, batch, rng)
+        (loss, _metrics), g = self._value_and_grad(params, batch, rng)
         grads = jax.tree.map(jnp.add, grads, g)
         return grads, loss
 
@@ -258,14 +293,14 @@ class TrainSession:
         if acc == 1:
             # no accumulation buffer needed: grads flow straight to the update
             micro_batch = {k: v[0] for k, v in batch.items()}
-            (loss_sum, _m), grads = jax.value_and_grad(self._loss, has_aux=True)(params, micro_batch, rng)
+            (loss_sum, _m), grads = self._value_and_grad(params, micro_batch, rng)
         else:
             def micro(carry, mb):
                 grads, loss_sum = carry
                 g, loss = self._accumulate(params, grads, mb, rng)
                 return (g, loss_sum + loss), None
 
-            grads0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), self.param_shapes)
+            grads0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), self.grad_shapes)
             (grads, loss_sum), _ = jax.lax.scan(micro, (grads0, jnp.zeros((), jnp.float32)), batch)
         grads = jax.lax.with_sharding_constraint(grads, self.grad_sharding)
         return grads, loss_sum
@@ -347,7 +382,7 @@ class TrainSession:
 
     def lower_accumulate(self, micro_batch_size: int):
         params_s = jax.tree.map(lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh), self.param_shapes, self.param_sharding)
-        grads_s = jax.tree.map(lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh), self.param_shapes, self.grad_sharding)
+        grads_s = jax.tree.map(lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh), self.grad_shapes, self.grad_sharding)
         batch_s = self.micro_batch_specs(micro_batch_size)
         rng_s = jax.ShapeDtypeStruct((), jax.random.key(0).dtype, sharding=self.repl_sharding)
         fn = jax.jit(
