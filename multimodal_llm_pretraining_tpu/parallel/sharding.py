@@ -56,7 +56,8 @@ class ShardingPolicy:
     grads: ShardModeT = "replicated"
     opt_state: ShardModeT = "replicated"
     hybrid: bool = False  # requires a replica axis > 1 on the mesh
-    quantized_comms: bool = False  # ZeRO-3++ analog: int8 param all-gather
+    quantized_comms: bool = False  # ZeRO-3++ zero_quantized_weights: int8 param all-gather
+    quantized_grads: bool = False  # ZeRO-3++ zero_quantized_gradients: int8 grad reduce-scatter
     offload_optimizer: bool = False
     offload_params: bool = False
 
@@ -71,7 +72,10 @@ class ShardingPolicy:
             "zero_1": dict(opt_state="sharded"),
             "zero_2": dict(opt_state="sharded", grads="sharded"),
             "zero_3": dict(opt_state="sharded", grads="sharded", params="sharded"),
-            "zero_3++": dict(opt_state="sharded", grads="sharded", params="sharded", quantized_comms=True, hybrid=True),
+            "zero_3++": dict(
+                opt_state="sharded", grads="sharded", params="sharded",
+                quantized_comms=True, quantized_grads=True, hybrid=True,
+            ),
             "fsdp_shard_grad_op": dict(opt_state="sharded", grads="sharded"),
             "fsdp_full_shard": dict(opt_state="sharded", grads="sharded", params="sharded"),
             "fsdp_hybrid_shard_zero2": dict(opt_state="sharded", grads="sharded", hybrid=True),

@@ -223,7 +223,13 @@ class TrainSession:
         if self.policy.quantized_comms and self.mesh.shape["data"] > 1:
             from ..ops.quantized_comm import quantized_gather_tree
 
-            params = quantized_gather_tree(params, self.param_device_sharding, self.mesh, out_dtype=self.plan.compute_dtype)
+            params = quantized_gather_tree(
+                params,
+                self.param_device_sharding,
+                self.mesh,
+                out_dtype=self.plan.compute_dtype,
+                quantized_grads=self.policy.quantized_grads,
+            )
         return params
 
     def _fetch_opt(self, opt_state):

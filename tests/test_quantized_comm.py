@@ -37,6 +37,64 @@ def test_quantized_gather_second_dim(mesh):
     assert err.max() < np.abs(np.asarray(x)).max() / 100
 
 
+def _grad_through_gather(mesh, quantized_grads):
+    """Gradient of a loss that consumes gathered params, vs the exact path."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(64, 32)), jnp.float32)
+    c = jnp.asarray(rng.normal(size=(64, 32)), jnp.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+
+    def loss_quant(p):
+        full = quantized_all_gather(p, mesh, P("data", None), quantized_grads=quantized_grads)
+        return jnp.sum(jnp.cos(full) * c)
+
+    def loss_exact(p):
+        return jnp.sum(jnp.cos(p) * c)
+
+    g_q = jax.jit(jax.grad(loss_quant))(xs)
+    g_e = jax.jit(jax.grad(loss_exact))(x)
+    return np.asarray(g_q), np.asarray(g_e)
+
+
+@pytest.mark.parametrize("quantized_grads", [False, True])
+def test_gather_gradients_match_exact(mesh, quantized_grads):
+    """The custom VJP must pass real gradients through the int8 gather: same
+    direction and magnitude as the unquantized path (jnp.round alone has a
+    zero VJP and would silently destroy them)."""
+    g_q, g_e = _grad_through_gather(mesh, quantized_grads)
+    assert np.isfinite(g_q).all()
+    norm_q, norm_e = np.linalg.norm(g_q), np.linalg.norm(g_e)
+    cos = float((g_q * g_e).sum() / (norm_q * norm_e))
+    assert cos > 0.999, f"gradient direction broken: cos={cos}"
+    assert 0.95 < norm_q / norm_e < 1.05, f"gradient magnitude broken: {norm_q / norm_e}"
+
+
+def test_gather_grad_not_sparse(mesh):
+    """Regression for the round-1 bug where only the per-row absmax element
+    received a gradient."""
+    g_q, g_e = _grad_through_gather(mesh, quantized_grads=False)
+    frac_nonzero = (np.abs(g_q) > 1e-12).mean()
+    assert frac_nonzero > 0.99, f"only {frac_nonzero:.2%} of entries got a gradient"
+
+
+def test_comm_payload_is_int8(mesh):
+    """Comm-bytes assertion: the lowered HLO moves s8 payloads both ways --
+    all-gather(s8) in forward, all-to-all(s8) in the quantized-grad backward."""
+    x = jnp.zeros((64, 32), jnp.float32)
+    xs_shard = NamedSharding(mesh, P("data", None))
+
+    def loss(p):
+        full = quantized_all_gather(p, mesh, P("data", None), quantized_grads=True)
+        return jnp.sum(full * full)
+
+    hlo = jax.jit(jax.grad(loss), in_shardings=(xs_shard,)).lower(x).compile().as_text()
+    assert "all-gather" in hlo and "s8[" in hlo
+    gather_lines = [l for l in hlo.splitlines() if "all-gather" in l and "s8[" in l]
+    assert gather_lines, "forward all-gather payload is not int8"
+    a2a_lines = [l for l in hlo.splitlines() if "all-to-all" in l and "s8[" in l]
+    assert a2a_lines, "backward grad reduce-scatter payload is not int8"
+
+
 def test_zero_3pp_end_to_end():
     """zero_3++ trains with int8 param gathers on a hybrid 2x4 mesh and the
     loss stays close to the exact zero_3 trajectory."""
@@ -63,12 +121,20 @@ def test_zero_3pp_end_to_end():
         sess.dataset.sequence_length = 17
         state = sess.init_state()
         step = sess.train_step_fn()
-        for i in range(2):
+        for i in range(3):
             state, m = step(state, sess.make_train_batch(seed=i), jax.random.key(0))
-        return float(m["loss"])
+        flat = jnp.concatenate([jnp.ravel(l).astype(jnp.float32) for l in jax.tree.leaves(state.params)])
+        return float(m["loss"]), np.asarray(flat)
 
-    exact = run("zero_3", MeshConfig(num_hosts=2, chips_per_host=4))
-    quantized = run("zero_3++", MeshConfig(num_hosts=2, chips_per_host=4))
+    exact, p_exact = run("zero_3", MeshConfig(num_hosts=2, chips_per_host=4))
+    quantized, p_quant = run("zero_3++", MeshConfig(num_hosts=2, chips_per_host=4))
     assert np.isfinite(quantized)
     # int8 weight communication perturbs the trajectory slightly, not wildly
     assert abs(quantized - exact) / exact < 0.02
+    # the PARAMETER trajectory must track the exact path too: if the gather
+    # VJP dropped gradients the params would barely move and diverge from the
+    # zero_3 trajectory (round-1 bug), even while the loss looked plausible
+    delta = np.linalg.norm(p_quant - p_exact) / np.linalg.norm(p_exact)
+    assert delta < 0.02, f"zero_3++ parameter trajectory diverged: {delta:.4f}"
+    # and both trajectories actually moved from init (optimizer steps applied)
+    assert np.linalg.norm(p_quant) > 0
