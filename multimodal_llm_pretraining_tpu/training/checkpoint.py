@@ -23,7 +23,7 @@ class Checkpointer:
         self._ocp = ocp
         self.directory = directory
         self.manager = ocp.CheckpointManager(
-            ocp.test_utils.erase_and_create_empty(directory) if False else directory,
+            directory,
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
         )
 
@@ -53,3 +53,35 @@ class Checkpointer:
 
     def wait(self) -> None:
         self.manager.wait_until_finished()
+
+
+def restore_params(directory: str, params_like: Any, step: int | None = None) -> Any:
+    """Params-only restore from another run's checkpoint: the
+    pretrain -> finetune chain (the reference loads the saved pretrain model
+    via ``from_pretrained``, ``src/models/llava.py:151-152`` /
+    ``src/models/vilt.py:359-360``). The donor's optimizer state and step
+    counter are deliberately NOT taken -- a finetune starts fresh.
+
+    ``params_like`` (the finetune session's initialized params) provides the
+    expected structure, dtypes, and shardings; a structure mismatch fails
+    loudly inside orbax rather than training from half-garbage.
+    """
+    import os
+
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    mgr = ocp.CheckpointManager(directory)
+    if step is None:
+        step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint found in {directory}")
+
+    raw = ocp.PyTreeCheckpointer().restore(os.path.join(directory, str(step), "default"))
+    raw_params = raw["params"] if isinstance(raw, dict) else raw.params
+    # conform to the template: tree.map enforces identical structure; dtype
+    # follows the template (e.g. a finetune phase running a different
+    # compute dtype than the donor)
+    params = jax.tree.map(lambda like, got: jnp.asarray(got, dtype=like.dtype), params_like, raw_params)
+    logger.info(f"chained params from {directory} @ step {step}")
+    return params

@@ -1,13 +1,28 @@
 from .logging import get_logger
 from .trees import param_count, param_bytes, tree_flatten_with_paths
 
+_SYNC_FNS: dict = {}
+
 
 def block_on(tree) -> None:
-    """Hard device sync: fetch one scalar per leaf group to host.
+    """Hard device sync: force completion of every program producing ``tree``.
 
     ``jax.block_until_ready`` is a no-op on some experimental PJRT backends
     (observed on the axon TPU tunnel), which silently breaks wall-clock
     timing. Pulling a value to host is the only reliable barrier.
+
+    Leaves of ``tree`` may come from MANY independent executions (the
+    streaming offload updater dispatches one jitted program per parameter
+    leaf), so syncing a single leaf is not enough: a later-dispatched leaf
+    program could still be running when the timer stops. Instead one fused
+    jitted reduction consumes a scalar from EVERY device-memory leaf -- it
+    cannot run until all producers finish -- and its single output is fetched
+    (one dispatch, ~13 ms on the tunnel, regardless of leaf count).
+
+    Host-memory (``pinned_host``) leaves cannot be sliced on TPU; for those a
+    small device round-trip is enqueued after the writebacks (DMA transfers
+    are FIFO per direction on a single chip, so its completion bounds
+    theirs).
     """
     import jax
     import numpy as np
@@ -17,18 +32,42 @@ def block_on(tree) -> None:
     if not leaves:
         return
 
-    # index a single scalar: the cheapest computation that cannot complete
-    # until the producing program has finished. Prefer a small device-memory
-    # leaf -- scalar slicing of pinned_host arrays is unsupported on TPU.
-    def rank(x):
-        kind = getattr(getattr(x, "sharding", None), "memory_kind", None)
-        return (kind not in (None, "device"), getattr(x, "size", 1 << 62))
+    def is_host(x):
+        return getattr(getattr(x, "sharding", None), "memory_kind", None) == "pinned_host"
 
-    leaf = min(leaves, key=rank)
-    try:
-        np.asarray(leaf[(0,) * leaf.ndim] if leaf.ndim else leaf)
-    except Exception:
-        pass  # block_until_ready above is the best remaining barrier
+    dev_leaves = [x for x in leaves if not is_host(x)]
+    host_leaves = [x for x in leaves if is_host(x)]
+
+    if dev_leaves:
+        key = tuple((x.shape, str(x.dtype)) for x in dev_leaves)
+        fn = _SYNC_FNS.get(key)
+        if fn is None:
+            def reduce_first(*ls):
+                import jax.numpy as jnp
+
+                # sum real values (not *0, which XLA would constant-fold,
+                # dropping the data dependency and with it the barrier)
+                acc = jnp.zeros((), jnp.float32)
+                for l in ls:
+                    first = jax.lax.reshape(l, (l.size,))[0] if l.ndim else l
+                    acc = acc + first.astype(jnp.float32)
+                return acc
+
+            fn = _SYNC_FNS[key] = jax.jit(reduce_first)
+            if len(_SYNC_FNS) > 64:  # unbounded signatures: keep newest
+                _SYNC_FNS.pop(next(iter(_SYNC_FNS)))
+        try:
+            np.asarray(fn(*dev_leaves))
+        except Exception:
+            pass  # block_until_ready above is the best remaining barrier
+
+    if host_leaves:
+        leaf = min(host_leaves, key=lambda x: getattr(x, "size", 1 << 62))
+        try:
+            moved = jax.device_put(leaf, jax.devices()[0])
+            np.asarray(moved)[(0,) * moved.ndim if moved.ndim else ()]
+        except Exception:
+            pass
 
 
 __all__ = ["get_logger", "param_count", "param_bytes", "tree_flatten_with_paths", "block_on"]
