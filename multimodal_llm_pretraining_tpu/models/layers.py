@@ -169,6 +169,7 @@ def make_stack(block_cls, num_layers: int, remat: bool, name: str = "layers", **
         cls,
         variable_axes={"params": 0},
         split_rngs={"params": True, "dropout": True},
+        in_axes=nn.broadcast,  # non-carry args (masks) shared across layers
         length=num_layers,
         metadata_params={nn.PARTITION_NAME: "layers"},
     )

@@ -34,12 +34,12 @@ NUM_PATCHES = (336 // 14) ** 2  # 576
 TOWER_HIDDEN = 1024
 
 
-def merge_image_features(embeds, image_feats, input_ids, labels, image_token: int):
+def merge_image_features(embeds, image_feats, input_ids, labels, image_token: int, attention_mask=None):
     """Expand the single <image> token into NUM_PATCHES feature positions.
 
     embeds: [B, S, H] text embeddings; image_feats: [B, P, H];
-    returns merged [B, S-1+P, H] embeddings and expanded labels (-100 at
-    image positions).
+    returns merged [B, S-1+P, H] embeddings, expanded labels (-100 at image
+    positions), and the expanded attention mask (patch positions attend).
     """
     b, s, h = embeds.shape
     p_count = image_feats.shape[1]
@@ -61,25 +61,38 @@ def merge_image_features(embeds, image_feats, input_ids, labels, image_token: in
     if labels is not None:
         lab = jnp.take_along_axis(labels, text_idx, axis=1)
         merged_labels = jnp.where(is_img, -100, lab)
-    return merged, merged_labels
+    merged_mask = None
+    if attention_mask is not None:
+        am = jnp.take_along_axis(attention_mask, text_idx, axis=1)
+        merged_mask = jnp.where(is_img, 1, am)
+    return merged, merged_labels, merged_mask
 
 
 class LlavaModule(nn.Module):
     attn_impl: str = "xla"
     remat: bool = False
     dtype: Any = jnp.float32
+    # size overrides (checkpoint-driven or test-size); None = published dims
+    tower_kwargs: dict | None = None
+    lm_kwargs: dict | None = None
+    vocab_with_image: int = VOCAB_WITH_IMAGE
+    image_token: int = IMAGE_TOKEN
 
     @nn.compact
-    def __call__(self, input_ids, pixel_values, labels=None, deterministic=True):
+    def __call__(self, input_ids, pixel_values, labels=None, attention_mask=None, deterministic=True):
         from ..ops.xent import lm_head_loss
 
-        tower = CLIPVisionEncoder(
+        tower_kwargs = dict(
             hidden=TOWER_HIDDEN,
             num_layers=24,
             num_heads=16,
             intermediate=4096,
             patch=14,
             image_size=336,
+        )
+        tower_kwargs.update(self.tower_kwargs or {})
+        tower = CLIPVisionEncoder(
+            **tower_kwargs,
             activation=quick_gelu,
             feature_layer=-2,
             attn_impl=self.attn_impl,
@@ -89,17 +102,21 @@ class LlavaModule(nn.Module):
         )
         feats = tower(pixel_values, deterministic=deterministic)[:, 1:]  # drop CLS
 
+        lm_kwargs = dict(self.lm_kwargs or {})
+        lm_hidden = lm_kwargs.get("hidden", LM_HIDDEN)
+
         # projector: Dense -> gelu -> Dense (LlavaMultiModalProjector)
-        feats = nn.Dense(LM_HIDDEN, dtype=self.dtype, name="projector_in")(feats)
+        feats = nn.Dense(lm_hidden, dtype=self.dtype, name="projector_in")(feats)
         feats = nn.gelu(feats)
-        feats = nn.Dense(LM_HIDDEN, dtype=self.dtype, name="projector_out")(feats)
+        feats = nn.Dense(lm_hidden, dtype=self.dtype, name="projector_out")(feats)
 
-        embed = self.param("language_model_embed_tokens", nn.initializers.normal(0.02), (VOCAB_WITH_IMAGE, LM_HIDDEN))
+        embed = self.param("language_model_embed_tokens", nn.initializers.normal(0.02), (self.vocab_with_image, lm_hidden))
         text_embeds = jnp.take(embed, input_ids, axis=0).astype(self.dtype)
-        merged, merged_labels = merge_image_features(text_embeds, feats, input_ids, labels, IMAGE_TOKEN)
-
-        lm = LlamaDecoder(attn_impl=self.attn_impl, remat=self.remat, dtype=self.dtype, name="language_model")
-        hidden = lm(merged)
+        merged, merged_labels, merged_mask = merge_image_features(
+            text_embeds, feats, input_ids, labels, self.image_token, attention_mask
+        )
+        lm = LlamaDecoder(**lm_kwargs, attn_impl=self.attn_impl, remat=self.remat, dtype=self.dtype, name="language_model")
+        hidden = lm(merged, mask=merged_mask)
 
         kernel = embed.T.astype(self.dtype)  # llama-3.2-1b ties embeddings
         if labels is None:
@@ -111,22 +128,53 @@ class _LlavaBase(MultimodalModelClass[LlavaT]):
     image_token_index = IMAGE_TOKEN
 
     def _build(self, use_custom_kernels, activation_checkpointing, compute_dtype, freeze_prefixes):
+        import os
+
         from ..ops.attention import default_attn_impl
 
         if compute_dtype is None:
             compute_dtype = jnp.bfloat16 if self.mixed_precision else jnp.float32
+
+        # Pretrained assembly (reference ``src/models/llava.py:30-45``): point
+        # these at local save_pretrained dirs of the CLIP tower and Llama LM.
+        # Without them the towers are random-initialized (timing-equivalent).
+        clip_dir = os.environ.get("MLPT_LLAVA_CLIP_DIR")
+        llama_dir = os.environ.get("MLPT_LLAVA_LLAMA_DIR")
+        tower_kwargs = lm_kwargs = None
+        image_size = 336
+        if clip_dir and llama_dir:
+            from .weights import clip_module_kwargs, llama_module_kwargs, read_config
+
+            clip_cfg = read_config(clip_dir)
+            tower_kwargs = clip_module_kwargs(clip_cfg.get("vision_config", clip_cfg))
+            lm_kwargs = llama_module_kwargs(read_config(llama_dir))
+            image_size = tower_kwargs["image_size"]
+
         module = LlavaModule(
-            attn_impl=default_attn_impl(use_custom_kernels), remat=activation_checkpointing, dtype=compute_dtype
+            attn_impl=default_attn_impl(use_custom_kernels),
+            remat=activation_checkpointing,
+            dtype=compute_dtype,
+            tower_kwargs=tower_kwargs,
+            lm_kwargs=lm_kwargs,
         )
 
         def init_fn(rng):
-            return module.init(
-                rng, jnp.zeros((1, 8), jnp.int32), jnp.zeros((1, 336, 336, 3), jnp.float32)
+            params = module.init(
+                rng, jnp.zeros((1, 8), jnp.int32), jnp.zeros((1, image_size, image_size, 3), jnp.float32)
             )["params"]
+            if clip_dir and llama_dir:
+                from .weights import llava_params_from_pretrained
+
+                params = llava_params_from_pretrained(clip_dir, llama_dir, params)
+            return params
 
         def loss_fn(params, batch, rng=None, train=True):
             loss = module.apply(
-                {"params": params}, batch["input_ids"], batch["pixel_values"], labels=batch["labels"]
+                {"params": params},
+                batch["input_ids"],
+                batch["pixel_values"],
+                labels=batch["labels"],
+                attention_mask=batch.get("attention_mask"),
             )
             return loss, {"loss": loss}
 

@@ -72,6 +72,58 @@ def test_llava_pretrain_freezes_tower_and_lm():
     assert 5e6 < n < 8e6
 
 
+def test_llava_merge_expands_attention_mask():
+    """Padding positions survive the <image> expansion: text mask entries map
+    through the same gather as labels, patch positions always attend."""
+    from multimodal_llm_pretraining_tpu.models.llava import merge_image_features
+
+    b, s, h, p = 1, 6, 4, 3
+    image_token = 99
+    ids = jnp.array([[7, 99, 8, 9, 0, 0]])  # image at pos 1, pad at 4..5
+    am = jnp.array([[1, 1, 1, 1, 0, 0]])
+    labels = jnp.array([[-100, -100, 8, 9, -100, -100]])
+    embeds = jnp.arange(b * s * h, dtype=jnp.float32).reshape(b, s, h)
+    feats = jnp.ones((b, p, h))
+    merged, mlab, mmask = merge_image_features(embeds, feats, ids, labels, image_token, am)
+    assert merged.shape == (b, s - 1 + p, h)
+    # out positions: 0=text0, 1..3=patches, 4=text2, 5=text3, 6..7=pad
+    np.testing.assert_array_equal(np.asarray(mmask), [[1, 1, 1, 1, 1, 1, 0, 0]])
+    np.testing.assert_array_equal(np.asarray(mlab), [[-100, -100, -100, -100, 8, 9, -100, -100]])
+
+
+def test_stack_broadcasts_attention_mask():
+    """A padding mask threaded through a scanned layer stack changes outputs
+    at positions that attend to the padded keys (and the stack traces with a
+    single broadcast mask, not one slice per layer)."""
+    import flax.linen as nn
+
+    from multimodal_llm_pretraining_tpu.models.layers import SelfAttention, make_stack
+
+    class Block(nn.Module):
+        @nn.compact
+        def __call__(self, x, mask=None):
+            h = SelfAttention(num_heads=2, head_dim=4, causal=True, dtype=jnp.float32, name="attn")(x, mask=mask)
+            return x + h, None
+
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x, mask=None):
+            out, _ = make_stack(Block, 2, remat=False)(x, mask)
+            return out
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 6, 8)), jnp.float32)
+    net = Net()
+    params = net.init(jax.random.key(0), x)
+    dense = net.apply(params, x)
+    mask = jnp.array([[1, 1, 1, 1, 0, 0]])
+    masked = net.apply(params, x, mask=mask)
+    # position 5 attends to padded key 4 only in the dense run
+    assert not np.allclose(np.asarray(dense[0, 5]), np.asarray(masked[0, 5]))
+    # position 0 sees only itself either way (causal)
+    np.testing.assert_allclose(np.asarray(dense[0, 0]), np.asarray(masked[0, 0]), rtol=1e-5)
+
+
 def test_vilt_finetune_is_mlm_only():
     mc = get_model_class("vilt-finetune")
     assert mc.target_tasks == ("mlm",)
