@@ -23,12 +23,13 @@ class CLIPBlock(nn.Module):
     num_heads: int
     intermediate: int
     activation: Callable = quick_gelu
+    ln_eps: float = 1e-5  # CLIP; ViLT/BERT-family trunks use 1e-12
     attn_impl: str = "xla"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, _=None):
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_attn")(x)
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_attn")(x)
         h = SelfAttention(
             num_heads=self.num_heads,
             head_dim=self.hidden // self.num_heads,
@@ -38,7 +39,7 @@ class CLIPBlock(nn.Module):
             name="attn",
         )(h)
         x = x + h
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_mlp")(x)
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_mlp")(x)
         h = Mlp(intermediate=self.intermediate, activation=self.activation, dtype=self.dtype, name="mlp")(h)
         return x + h, None
 

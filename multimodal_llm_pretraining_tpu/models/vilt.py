@@ -157,6 +157,7 @@ class ViltEncoderModule(nn.Module):
             num_heads=self.num_heads,
             intermediate=self.intermediate,
             activation=nn.gelu,
+            ln_eps=1e-12,  # ViLT/BERT layer_norm_eps
             attn_impl=self.attn_impl,
             dtype=self.dtype,
         )
@@ -274,7 +275,19 @@ class _ViltBase(MultimodalModelClass[ViltT]):
                 b[f"{pfx}pixel_values"] = img
             b["mlm_labels"] = ones
             b["itm_labels"] = jnp.zeros((1,), jnp.int32)
-            return module.init(jax.random.key(0), b)["params"]
+            params = module.init(jax.random.key(0), b)["params"]
+
+            # pretrained encoder graft (reference src/models/vilt_original.py:238
+            # replaces only vilt.encoder with dandelin/vilt-b32-mlm's)
+            import os
+
+            vilt_dir = os.environ.get("MLPT_VILT_DIR")
+            if vilt_dir and self.module_kwargs.get("hidden", 1408) == 768:
+                from .weights import load_vilt_encoder, overlay
+
+                params = dict(params)
+                params["vilt"] = overlay(dict(params["vilt"]), load_vilt_encoder(vilt_dir))
+            return params
 
         def loss_fn(params, batch, rng=None, train=True):
             return module.apply({"params": params}, batch, deterministic=not train)

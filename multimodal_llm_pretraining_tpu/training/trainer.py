@@ -97,6 +97,7 @@ class Trainer:
         resume: bool = True,
         seed: int = 0,
         profile_dir: str | None = None,
+        init_params_from: str | None = None,
     ):
         self.session = session
         self.plan = session.plan
@@ -106,6 +107,7 @@ class Trainer:
         self.resume = resume
         self.seed = seed
         self.profile_dir = profile_dir  # jax.profiler trace of steps 2-4
+        self.init_params_from = init_params_from  # pretrain->finetune chain
 
         acc = self.plan.gradient_accumulation_steps
         self.examples_per_step = acc * session.global_micro_batch_size()
@@ -133,10 +135,19 @@ class Trainer:
 
     def train(self, max_steps: int | None = None) -> dict[str, float]:
         state = self.session.init_state(seed=self.seed)
+        resumed = False
         if self.checkpointer is not None and self.resume:
             latest = self.checkpointer.latest_step()
             if latest is not None:
                 state = self.checkpointer.restore(state)
+                resumed = True
+        if self.init_params_from and not resumed:
+            # start this phase from another run's final params (fresh
+            # optimizer state and step counter)
+            from .checkpoint import restore_params
+
+            params = restore_params(self.init_params_from, state.params)
+            state = state.replace(params=jax.device_put(params, self.session.param_sharding))
 
         step_fn = self.session.train_step_fn()
         rng = jax.random.key(self.seed)

@@ -76,6 +76,12 @@ def main():
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--profile-dir", default=None, help="write a jax.profiler trace of steps 2-4")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--init-params-from",
+        default=None,
+        help="orbax checkpoint dir of a finished phase to chain from "
+        "(llava-finetune <- llava-pretrain; fresh optimizer/step)",
+    )
     a = p.parse_args()
 
     maybe_init_distributed()
@@ -98,6 +104,7 @@ def main():
         resume=not a.no_resume,
         seed=a.seed,
         profile_dir=a.profile_dir,
+        init_params_from=a.init_params_from,
     )
     final = trainer.train(max_steps=a.max_steps)
     logger.info(f"training finished: {final}")

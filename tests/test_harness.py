@@ -1,9 +1,10 @@
 """Benchmark harness + trainer tests on the CPU mesh."""
 
+import jax
 import numpy as np
 
 from multimodal_llm_pretraining_tpu.benchmarking.max_batch_size import find_max_mbs_pow2
-from multimodal_llm_pretraining_tpu.benchmarking.step_time import benchmark_acc_optim_times, estimate_step_time
+from multimodal_llm_pretraining_tpu.benchmarking.step_time import estimate_step_time, measure_phase_times
 from multimodal_llm_pretraining_tpu.benchmarking.utils import BenchmarkHarness
 from multimodal_llm_pretraining_tpu.models import get_model_class
 from multimodal_llm_pretraining_tpu.parallel.mesh import MeshConfig
@@ -32,11 +33,13 @@ def small_harness(limit_seq=17, mbs=1):
 def test_manual_steps_and_timing():
     h = small_harness()
     h.setup()
-    acc_t, opt_t = benchmark_acc_optim_times(h, micro_batch_size=1, training_steps=2, accumulations=2, warmup=True)
-    assert acc_t > 0 and opt_t > 0
+    times = measure_phase_times(h, micro_batch_size=1, samples=2)
+    assert times.accumulate_s > 0 and times.optimizer_s > 0
     # step-time extrapolation: acc x gas + optim (reference protocol)
     st = estimate_step_time(h, micro_batch_size=1, target_micro_batch_size=4, num_benchmarking_steps=1)
     assert st > 0
+    # the extrapolation is linear in accumulation steps by construction
+    assert abs(times.step_time(4) - (4 * times.accumulate_s + times.optimizer_s)) < 1e-9
 
 
 def test_max_mbs_search_respects_budget():
@@ -44,8 +47,8 @@ def test_max_mbs_search_respects_budget():
     h.setup()
     # a tiny artificial budget forces the predictive path to cap the search
     tiny_budget = h.persistent_state_bytes() + 2 * 1024 * 1024
-    best_tiny = find_max_mbs_pow2(h, limit=8, hbm_budget_bytes=tiny_budget, confirm_with_step=False)
-    big = find_max_mbs_pow2(h, limit=4, hbm_budget_bytes=1 << 40, confirm_with_step=False)
+    best_tiny = find_max_mbs_pow2(h, limit=8, hbm_budget_bytes=tiny_budget)
+    big = find_max_mbs_pow2(h, limit=4, hbm_budget_bytes=1 << 40)
     assert best_tiny <= big
     assert big == 4  # limit-capped on CPU
 
@@ -80,3 +83,20 @@ def test_trainer_runs_and_resumes(tmp_path):
     trainer2 = Trainer(sess2, output_dir=out, save_steps=10, log_steps=1)
     trainer2.train(max_steps=4)
     assert int(trainer2.final_state.step) == 4
+
+    # pretrain -> finetune chain: a NEW run initializes its params from the
+    # finished run's checkpoint but starts with fresh step/optimizer state
+    # (reference from_pretrained chaining, src/models/llava.py:151-152)
+    from multimodal_llm_pretraining_tpu.training.checkpoint import restore_params
+
+    sess3 = plan.build_session(mc)
+    sess3.dataset.sequence_length = 17
+    fresh = sess3.init_state()
+    chained = restore_params(out, fresh.params)
+    a = np.asarray(jax.tree.leaves(chained)[0])
+    b = np.asarray(jax.tree.leaves(trainer2.final_state.params)[0])
+    np.testing.assert_array_equal(a, b)
+    ft_dir = str(tmp_path / "finetune")
+    trainer3 = Trainer(sess3, output_dir=ft_dir, save_steps=10, log_steps=1, init_params_from=out)
+    trainer3.train(max_steps=1)
+    assert int(trainer3.final_state.step) == 1  # fresh counter, not 4 + 1
