@@ -1,0 +1,97 @@
+"""Fresh-process probe isolation.
+
+On this TPU runtime a *runtime* RESOURCE_EXHAUSTED can poison the whole
+process: even deleting every live buffer and re-initializing device state
+has been observed to fail afterwards. The reference gets crash isolation
+for free by re-forking CUDA worker processes per probe (torchrunx,
+``/root/reference/experiments/utils/distribute.py:37-61``); the TPU analog
+here is a disposable worker process per *executing* probe. The parent
+process only orchestrates and AOT-compiles (side-effect-free): anything
+that actually runs on the chip during a search runs in a worker that is
+allowed to die.
+
+Protocol: the parent serializes a JSON spec, the worker
+(``benchmarking.probe_worker``) performs one operation and prints a single
+``MLPT_RESULT:{json}`` line. The parent classifies any failure from the
+combined output: OOM markers -> ``{"oom": true}``; Pallas/Mosaic lowering
+markers -> ``{"lowering_failure": true}``; anything else raises.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+from ..utils import get_logger
+
+logger = get_logger()
+
+RESULT_PREFIX = "MLPT_RESULT:"
+
+_LOWERING_MARKERS = ("Mosaic", "mosaic", "Pallas", "pallas", "lowering", "Unimplemented primitive")
+
+
+def _worker_env(env_overrides: dict | None = None) -> dict:
+    env = dict(os.environ)
+    # Workers must match the parent's backend. Off-TPU (CPU tests) the
+    # parent's virtual device count only exists via env+config, so pass it
+    # through explicitly.
+    import jax
+
+    if jax.default_backend() != "tpu":
+        env["MLPT_WORKER_PLATFORM"] = jax.default_backend()
+        n = len(jax.devices())
+        flags = env.get("XLA_FLAGS", "")
+        if "--xla_force_host_platform_device_count" not in flags:
+            env["XLA_FLAGS"] = (flags + f" --xla_force_host_platform_device_count={n}").strip()
+    # A multi-host worker group must rendezvous on its own port, not the
+    # parent group's (one coordinator per jax.distributed world).
+    coord = env.get("MLPT_COORDINATOR_ADDRESS")
+    if coord and ":" in coord:
+        host, port = coord.rsplit(":", 1)
+        env["MLPT_COORDINATOR_ADDRESS"] = f"{host}:{int(port) + 17}"
+    if env_overrides:
+        env.update(env_overrides)
+    return env
+
+
+def classify_worker_failure(output: str) -> dict | None:
+    """Map worker output to a structured failure, or None if unrecognized."""
+    from .utils import _OOM_MARKERS
+
+    if any(m in output for m in _OOM_MARKERS):
+        return {"oom": True}
+    if any(m in output for m in _LOWERING_MARKERS):
+        return {"lowering_failure": True}
+    return None
+
+
+def run_probe_worker(spec: dict, timeout: float = 3600.0, env_overrides: dict | None = None) -> dict:
+    """Run one probe op in a disposable worker process.
+
+    Returns the worker's result dict on success, ``{"oom": True}`` /
+    ``{"lowering_failure": True}`` when the worker died recognizably, and
+    raises RuntimeError on unclassifiable failures.
+    """
+    proc = subprocess.run(
+        [sys.executable, "-m", "multimodal_llm_pretraining_tpu.benchmarking.probe_worker"],
+        input=json.dumps(spec),
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        env=_worker_env(env_overrides),
+        cwd=os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    )
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith(RESULT_PREFIX):
+            result = json.loads(line[len(RESULT_PREFIX):])
+            if proc.returncode == 0:
+                return result
+    failure = classify_worker_failure(proc.stdout + proc.stderr)
+    if failure is not None:
+        logger.info(f"probe worker ({spec.get('op')}) died: {failure} (rc={proc.returncode})")
+        return failure
+    raise RuntimeError(
+        f"probe worker failed unrecognizably (rc={proc.returncode}):\n"
+        f"stdout tail: {proc.stdout[-2000:]}\nstderr tail: {proc.stderr[-2000:]}"
+    )

@@ -1,48 +1,114 @@
 """Largest power-of-2 micro-batch search.
 
-Protocol parity with ``src/benchmarking/max_batch_size.py:11-25`` (double
-until failure, return mbs // 2), but the probe is an AOT compile + static
-HBM verification instead of running a step and catching a CUDA OOM -- each
-probe costs seconds of compile, nothing executes, and an OOM cannot corrupt
-the process. The winning size is confirmed with one real training step
-(runtime OOM remains possible in rare dynamic-allocation cases).
+Same contract as the reference (``src/benchmarking/max_batch_size.py:11-25``:
+double until failure, return the last working size), TPU-first mechanics:
+
+1. **Static fit table** -- every candidate is AOT-compiled and checked
+   against the HBM budget via XLA's memory analysis. Nothing executes, so
+   the parent process is never at risk; on CUDA the only probe is running a
+   step and catching the OOM.
+2. **Runtime confirmation in a disposable worker** -- XLA's static picture
+   can miss dynamic allocations, so the winning candidate runs one real
+   step. A runtime RESOURCE_EXHAUSTED poisons this TPU runtime beyond
+   in-process recovery, so the confirmation runs in a fresh subprocess
+   (``subprocess_confirm``): the worker dies, the parent halves and forks
+   another. This is the torchrunx fresh-worker-per-probe model
+   (``/root/reference/experiments/utils/distribute.py:37-61``) rebuilt on
+   plain subprocesses.
 """
 
+from typing import Callable
+
 from ..utils import get_logger
-from .utils import BenchmarkHarness, OutOfMemory
+from .utils import BenchmarkHarness
 
 logger = get_logger()
+
+
+def predicted_fit_table(
+    harness: BenchmarkHarness, limit: int, hbm_budget_bytes: int | None = None
+) -> dict[int, bool]:
+    """AOT-compile every power-of-2 candidate up to ``limit`` and record
+    whether it fits the HBM budget. Pure compile-time: safe in-process."""
+    table: dict[int, bool] = {}
+    mbs = 1
+    while mbs <= limit:
+        table[mbs] = harness.fits(mbs, hbm_budget_bytes=hbm_budget_bytes)
+        logger.info(f"fit table: mbs={mbs} -> {'fits' if table[mbs] else 'over budget'}")
+        if not table[mbs]:
+            break
+        mbs *= 2
+    harness.release_probe()  # free probe executables before any real run
+    return table
 
 
 def find_max_mbs_pow2(
     harness: BenchmarkHarness,
     limit: int,
     hbm_budget_bytes: int | None = None,
-    confirm_with_step: bool = True,
+    confirm: Callable[[int], bool] | None = None,
 ) -> int:
-    mbs = 1
-    while mbs <= limit:
-        logger.info(f"Probing micro-batch size {mbs} (AOT compile + memory check)...")
-        if not harness.fits(mbs, hbm_budget_bytes=hbm_budget_bytes):
+    """Largest fitting power-of-2 micro-batch size (0 if none fit).
+
+    ``confirm(mbs) -> bool`` optionally validates candidates by really
+    running a step; it should be ``subprocess_confirm(...)`` on hardware
+    where an OOM can poison the process. Candidates that fail confirmation
+    are halved until one passes.
+    """
+    table = predicted_fit_table(harness, limit, hbm_budget_bytes)
+    best = max((m for m, ok in table.items() if ok), default=0)
+
+    while confirm is not None and best >= 1:
+        if confirm(best):
             break
-        mbs *= 2
-
-    # mbs either failed or exceeded limit -> mbs // 2 is the last working size
-    best = mbs // 2
-    harness.release_probe()  # free probe executables before the real run
-
-    while confirm_with_step and best >= 1:
-        try:
-            harness.manual_training_step(best, seed=0)
-            harness.manual_optimization_step()
-            break
-        except OutOfMemory:
-            logger.info(f"mbs={best} passed static check but OOMed at runtime; rebuilding state and halving")
-            best //= 2
-            try:
-                harness.reset()  # a runtime OOM can poison live buffers
-            except OutOfMemory:
-                logger.info("state rebuild itself OOMed; giving up on this config")
-                return 0
-
+        logger.info(f"mbs={best} fit statically but failed at runtime; halving")
+        best //= 2
     return best
+
+
+def subprocess_confirm(config, dataset_overrides: dict | None = None) -> Callable[[int], bool]:
+    """Runtime confirmation in a disposable worker process.
+
+    Returns a ``confirm(mbs)`` callable for ``find_max_mbs_pow2``: True when
+    the worker completes one accumulate + optimizer step, False when it dies
+    of OOM (however messily -- the parent process is untouched either way).
+    """
+    import dataclasses
+
+    from .isolation import run_probe_worker
+
+    def confirm(mbs: int) -> bool:
+        spec = {
+            "op": "confirm",
+            "config": dataclasses.asdict(config),
+            "micro_batch_size": mbs,
+        }
+        if dataset_overrides:
+            spec["dataset_overrides"] = dataset_overrides
+        result = run_probe_worker(spec)
+        if result.get("oom"):
+            return False
+        if result.get("ok"):
+            return True
+        raise RuntimeError(f"confirm worker returned {result!r}")
+
+    return confirm
+
+
+def inprocess_confirm(harness: BenchmarkHarness) -> Callable[[int], bool]:
+    """In-process runtime confirmation, for backends where an OOM is a clean
+    exception (CPU tests). On real TPU prefer ``subprocess_confirm``."""
+    from .utils import OutOfMemory
+
+    def confirm(mbs: int) -> bool:
+        if harness.state is None:
+            harness.setup()
+        try:
+            harness.manual_training_step(mbs, seed=0)
+            harness.manual_optimization_step()
+            return True
+        except OutOfMemory:
+            harness.reset()
+            return False
+
+    return confirm

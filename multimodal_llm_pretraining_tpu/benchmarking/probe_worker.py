@@ -1,0 +1,77 @@
+"""Disposable probe worker (see ``benchmarking.isolation``).
+
+Reads one JSON spec from stdin, performs one device-executing operation,
+prints ``MLPT_RESULT:{json}``. Crashing (OOM, poisoned runtime, lowering
+failure) is an acceptable outcome -- the parent classifies it from output.
+
+Spec fields:
+  op: "confirm"      -- setup + one accumulate step + one optimizer step at
+                        micro_batch_size (the max-batch runtime confirmation)
+      "time_phases"  -- measure (accumulate, optimizer) phase times
+  config:            TrainingConfig fields (experiments.config)
+  micro_batch_size:  probe size
+  samples:           timing samples for time_phases (default 3)
+  plan_overrides:    TrainingPlan field overrides (e.g. disable kernels)
+  dataset_overrides: dataset attribute overrides (tests shrink seq length)
+"""
+
+import json
+import os
+import sys
+
+
+def _configure_backend() -> None:
+    platform = os.environ.get("MLPT_WORKER_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
+def run(spec: dict) -> dict:
+    _configure_backend()
+
+    from ..experiments.config import TrainingConfig
+    from ..experiments.distribute import maybe_init_distributed
+    from .step_time import measure_phase_times
+    from .utils import BenchmarkHarness
+
+    maybe_init_distributed()
+    config = TrainingConfig(**spec["config"])
+    plan = config.training_plan(
+        num_training_steps=1,
+        micro_batch_size=1,
+        gradient_accumulation_steps=1,
+        **spec.get("plan_overrides", {}),
+    )
+    plan.configure_compilation_cache()
+    harness = BenchmarkHarness(plan, config.model_class())
+    for attr, value in spec.get("dataset_overrides", {}).items():
+        setattr(harness.session.dataset, attr, value)
+    harness.setup()
+
+    mbs = int(spec["micro_batch_size"])
+    if spec["op"] == "confirm":
+        harness.manual_training_step(mbs, seed=0)
+        harness.manual_optimization_step()
+        return {"ok": True, "micro_batch_size": mbs}
+    if spec["op"] == "time_phases":
+        times = measure_phase_times(harness, mbs, samples=int(spec.get("samples", 3)))
+        return {
+            "ok": True,
+            "micro_batch_size": mbs,
+            "accumulate_s": times.accumulate_s,
+            "optimizer_s": times.optimizer_s,
+            "samples": times.samples,
+        }
+    raise ValueError(f"unknown op {spec['op']!r}")
+
+
+def main() -> None:
+    spec = json.loads(sys.stdin.read())
+    result = run(spec)
+    print("MLPT_RESULT:" + json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

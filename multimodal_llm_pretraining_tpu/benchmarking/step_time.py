@@ -1,14 +1,24 @@
-"""Step timing: accumulation and optimizer phases measured separately.
+"""Phase timing for one training configuration.
 
-Protocol parity with ``src/benchmarking/step_time.py:33-97``: N timed steps
-with one warmup discarded, phases timed independently, and
+The measured quantities match the reference protocol (reference
+``src/benchmarking/step_time.py:33-97``): the accumulate phase (fwd+bwd into
+the grad buffer) and the optimizer phase are timed separately, and a full
+training step extrapolates as
 
-    step_time = mean_acc_time * accumulation_steps + mean_optim_time
+    step_time = accumulate_s * accumulation_steps + optimizer_s
 
-(the reference's extrapolation at ``:95``). Timing uses wall clock around
-fully synced jitted calls (``utils.block_on``; jitted dispatch is async and
-``block_until_ready`` alone is unreliable on some PJRT transports).
+TPU-specific mechanics differ from a CUDA timer in two ways:
+
+- dispatch is asynchronous and ``block_until_ready`` is unreliable on some
+  PJRT transports, so every timed call ends in a hard host sync
+  (``utils.block_on``), and per-dispatch tunnel latency (~13 ms here) makes
+  single-dispatch timing noisy -- the warmup dispatch is untimed and also
+  serves as the compile trigger (remote XLA compile, tens of seconds);
+- there is no dataloader to mutate: the harness builds batches per
+  micro-batch size directly.
 """
+
+from dataclasses import dataclass
 
 from ..utils import get_logger
 from .utils import BenchmarkHarness, timed
@@ -16,36 +26,36 @@ from .utils import BenchmarkHarness, timed
 logger = get_logger()
 
 
-def benchmark_acc_optim_times(
-    harness: BenchmarkHarness,
-    micro_batch_size: int,
-    training_steps: int = 1,
-    accumulations: int = 1,
-    warmup: bool = False,
-) -> tuple[float, float]:
-    accumulation_times: list[float] = []
-    optimization_times: list[float] = []
+@dataclass(frozen=True)
+class PhaseTimes:
+    """Mean wall-clock seconds per phase over ``samples`` measured steps."""
 
-    if warmup:
-        training_steps += 1
+    accumulate_s: float
+    optimizer_s: float
+    samples: int
 
-    seed = 0
-    for _ in range(training_steps):
-        for _ in range(accumulations):
-            accumulation_times.append(timed(harness.manual_training_step, micro_batch_size, seed=seed))
-            seed += 1
-        optimization_times.append(timed(harness.manual_optimization_step))
+    def step_time(self, accumulation_steps: int) -> float:
+        return self.accumulate_s * accumulation_steps + self.optimizer_s
 
-    if warmup:
-        accumulation_times = accumulation_times[accumulations:]
-        optimization_times = optimization_times[1:]
 
-    logger.info(f"Accumulation times: {accumulation_times}")
-    logger.info(f"Optimization times: {optimization_times}")
+def measure_phase_times(harness: BenchmarkHarness, micro_batch_size: int, samples: int = 3) -> PhaseTimes:
+    """Time ``samples`` (accumulate, optimize) pairs after one untimed
+    warmup pair (which triggers compilation of both programs)."""
+    assert samples >= 1
+    harness.manual_training_step(micro_batch_size, seed=0)
+    harness.manual_optimization_step()
 
-    mean_acc_time = sum(accumulation_times) / len(accumulation_times)
-    mean_optim_time = sum(optimization_times) / len(optimization_times)
-    return mean_acc_time, mean_optim_time
+    acc_total = 0.0
+    opt_total = 0.0
+    for i in range(samples):
+        acc_total += timed(harness.manual_training_step, micro_batch_size, seed=i + 1)
+        opt_total += timed(harness.manual_optimization_step)
+    times = PhaseTimes(acc_total / samples, opt_total / samples, samples)
+    logger.info(
+        f"phase times @ mbs={micro_batch_size}: accumulate {times.accumulate_s:.4f}s, "
+        f"optimizer {times.optimizer_s:.4f}s (n={samples})"
+    )
+    return times
 
 
 def estimate_step_time(
@@ -54,16 +64,8 @@ def estimate_step_time(
     target_micro_batch_size: int,
     num_benchmarking_steps: int,
 ) -> float:
+    """Full-step seconds at ``micro_batch_size``, extrapolated to the
+    gradient-accumulation count that reaches ``target_micro_batch_size``."""
     accumulation_steps = target_micro_batch_size // micro_batch_size
-
-    logger.info(f"Estimating step time for MBS = {micro_batch_size}, ACC = {accumulation_steps}")
-
-    mean_acc_time, mean_optim_time = benchmark_acc_optim_times(
-        harness,
-        micro_batch_size,
-        training_steps=num_benchmarking_steps,
-        accumulations=1,
-        warmup=True,
-    )
-
-    return mean_acc_time * accumulation_steps + mean_optim_time
+    times = measure_phase_times(harness, micro_batch_size, samples=num_benchmarking_steps)
+    return times.step_time(accumulation_steps)

@@ -1,61 +1,42 @@
 """Empirical training-time experiment.
 
-Parity with ``experiments/training_time_empirical.py``: a 3-step cached DAG
-  max_micro_batch_size -> benchmarking_results -> training_days
-with the same validity predicate, halving-retry-on-OOM loop, and
-compile-fallback, rebuilt on the TPU primitives (AOT memory probing instead
-of CUDA OOM catching).
+Covers the reference experiment (``/root/reference/experiments/
+training_time_empirical.py``): a cached 3-step DAG -- largest micro-batch,
+measured step time, projected training days -- with the same validity
+predicate over the method grid. The execution model is rebuilt around what
+TPU/XLA makes possible and what this runtime makes necessary:
+
+- The micro-batch search is driven by a **static AOT fit table**
+  (``benchmarking.max_batch_size``): every candidate is compile-checked
+  against the HBM budget without executing, so there is no run-and-catch-OOM
+  doubling loop in a live process. Only the winning candidate is confirmed
+  by really stepping -- in a **disposable worker subprocess**, because a
+  runtime RESOURCE_EXHAUSTED poisons this runtime beyond in-process
+  recovery (the reference gets the same isolation from torchrunx re-forking
+  CUDA workers per probe).
+- Step timing also runs in a fresh worker per attempt. A worker that dies
+  of OOM halves the micro-batch; a worker that dies lowering a Pallas
+  kernel retries once with plain XLA kernels (the torch.compile-timeout
+  fallback's honest analog -- and unlike a compile timeout, a Mosaic
+  lowering error is deterministic, so exactly one retry).
 """
 
 import math
-from dataclasses import dataclass
+from dataclasses import asdict, dataclass
 from typing import Any, TypedDict
 
-from ..benchmarking.max_batch_size import find_max_mbs_pow2
-from ..benchmarking.step_time import estimate_step_time
-from ..benchmarking.utils import BenchmarkHarness, OutOfMemory
+from ..benchmarking.isolation import run_probe_worker
+from ..benchmarking.max_batch_size import find_max_mbs_pow2, subprocess_confirm
+from ..benchmarking.utils import BenchmarkHarness
 from ..tpus import device_hbm_bytes
 from ..utils import get_logger
 from .base_classes import Experiment
+from .cache import step
 from .config import TrainingConfig
 from .distribute import distribute
-from .cache import step
 from .slurm import SlurmJob
 
 logger = get_logger()
-
-
-def build_benchmarking_harness(config: TrainingConfig, disable_compile: bool = False) -> BenchmarkHarness:
-    """``build_benchmarking_trainer`` analog (reference ``:17-40``)."""
-    plan = config.training_plan(
-        num_training_steps=1,
-        micro_batch_size=1,
-        gradient_accumulation_steps=1,
-    )
-    if plan.compile and disable_compile:
-        import dataclasses
-
-        plan = dataclasses.replace(plan, compile=False)
-    harness = BenchmarkHarness(plan, config.model_class())
-    harness.setup()
-    return harness
-
-
-def find_largest_batch_size_worker(config: TrainingConfig, limit: int) -> int:
-    try:
-        harness = build_benchmarking_harness(config, disable_compile=True)
-    except OutOfMemory:
-        return 0
-    return find_max_mbs_pow2(harness, limit=limit, hbm_budget_bytes=device_hbm_bytes(config.tpu_type))
-
-
-@step(cacheable=True, version="002")
-def find_largest_batch_size(config: TrainingConfig, limit: int) -> int:
-    return distribute(
-        func=find_largest_batch_size_worker,
-        func_kwargs={"config": config, "limit": limit},
-        workers_per_host=config.chips_per_host,
-    )
 
 
 class BenchmarkingResults(TypedDict):
@@ -64,75 +45,82 @@ class BenchmarkingResults(TypedDict):
     compile_disabled: bool
 
 
-def benchmark_step_time_worker(
-    config: TrainingConfig,
-    disable_compile: bool,
-    micro_batch_size: int,
-    target_micro_batch_size: int,
-    num_benchmarking_steps: int,
-) -> BenchmarkingResults | None:
-    try:
-        harness = build_benchmarking_harness(config, disable_compile=disable_compile)
-        step_time = estimate_step_time(harness, micro_batch_size, target_micro_batch_size, num_benchmarking_steps)
-        return BenchmarkingResults(micro_batch_size=micro_batch_size, step_time=step_time, compile_disabled=disable_compile)
-    except OutOfMemory:
-        return None
+def _static_probe_harness(config: TrainingConfig) -> BenchmarkHarness:
+    """A harness used ONLY for AOT compilation (fit table): no device state
+    is ever materialized on it, so it is safe in the orchestrating process."""
+    plan = config.training_plan(num_training_steps=1, micro_batch_size=1, gradient_accumulation_steps=1)
+    plan.configure_compilation_cache()
+    return BenchmarkHarness(plan, config.model_class())
 
 
-@step(cacheable=True, version="002")
+@step(cacheable=True, version="003")
+def find_largest_batch_size(config: TrainingConfig, limit: int) -> int:
+    def search() -> int:
+        harness = _static_probe_harness(config)
+        return find_max_mbs_pow2(
+            harness,
+            limit=limit,
+            hbm_budget_bytes=device_hbm_bytes(config.tpu_type),
+            confirm=subprocess_confirm(config),
+        )
+
+    return distribute(func=search, workers_per_host=config.chips_per_host)
+
+
+@step(cacheable=True, version="003")
 def benchmark_step_time(
     config: TrainingConfig,
     max_micro_batch_size: int,
     target_micro_batch_size: int,
     num_benchmarking_steps: int,
     trial: int = 0,
+    _run_worker=run_probe_worker,  # injectable for tests
 ) -> BenchmarkingResults | None:
+    """Measured step time at the largest runnable micro-batch.
+
+    Each timing attempt is one disposable worker; the parent only reacts to
+    how it ends: OOM -> halve, Pallas lowering failure -> one retry on plain
+    XLA kernels, success -> extrapolate acc_time x acc_steps + optim_time.
+    """
+    del trial  # cache-key salt only
     micro_batch_size = max_micro_batch_size
+    plan_overrides: dict[str, Any] = {}
 
     while micro_batch_size > 0:
-        try:
-            results = distribute(
-                func=benchmark_step_time_worker,
-                func_kwargs=dict(
-                    config=config,
-                    disable_compile=False,
-                    micro_batch_size=micro_batch_size,
-                    target_micro_batch_size=target_micro_batch_size,
-                    num_benchmarking_steps=num_benchmarking_steps,
-                ),
-                workers_per_host=config.chips_per_host,
+        result = _run_worker(
+            {
+                "op": "time_phases",
+                "config": asdict(config),
+                "micro_batch_size": micro_batch_size,
+                "samples": num_benchmarking_steps,
+                "plan_overrides": plan_overrides,
+            }
+        )
+        if result.get("oom"):
+            logger.info(f"timing worker OOMed at mbs={micro_batch_size}; halving")
+            micro_batch_size //= 2
+            continue
+        if result.get("lowering_failure"):
+            if config.free_lunch and not plan_overrides:
+                logger.info("custom-kernel lowering failed in worker; retrying on plain XLA kernels")
+                plan_overrides = {"use_custom_kernels": False, "compile": False}
+                continue
+            raise RuntimeError("kernel lowering failed and no fallback remains")
+        if result.get("ok"):
+            accumulation_steps = target_micro_batch_size // micro_batch_size
+            step_time = result["accumulate_s"] * accumulation_steps + result["optimizer_s"]
+            return BenchmarkingResults(
+                micro_batch_size=micro_batch_size,
+                step_time=step_time,
+                compile_disabled=bool(plan_overrides),
             )
-        except RuntimeError:
-            # reference retries without torch.compile on suspected compile
-            # timeouts (:108-123); the analog disables the persistent cache
-            # and Pallas kernels in case a kernel fails to lower
-            if config.free_lunch:
-                logger.info("benchmark failed under custom kernels; retrying with plain XLA lowering")
-                results = distribute(
-                    func=benchmark_step_time_worker,
-                    func_kwargs=dict(
-                        config=config,
-                        disable_compile=True,
-                        micro_batch_size=micro_batch_size,
-                        target_micro_batch_size=target_micro_batch_size,
-                        num_benchmarking_steps=num_benchmarking_steps,
-                    ),
-                    workers_per_host=config.chips_per_host,
-                )
-            else:
-                raise
-
-        if results is not None:
-            return results
-
-        micro_batch_size //= 2
+        raise RuntimeError(f"timing worker returned {result!r}")
 
     return None
 
 
-@step(cacheable=True, version="002")
+@step(cacheable=True, version="003")
 def compute_training_days(benchmarking_results: BenchmarkingResults | None, num_steps: int) -> float | None:
-    """Total training time in days (reference ``:133-138``)."""
     if benchmarking_results is None:
         return None
     return (num_steps * benchmarking_results["step_time"]) / (24 * 60 * 60)
@@ -152,8 +140,8 @@ class TrainingTimeEmpirical(Experiment):
         self.plan = self.config.training_plan()
 
     def is_valid(self) -> bool:
-        """Validity predicate, rule-for-rule from reference ``:161-186``
-        (the bf16-capability rule passes trivially on TPU)."""
+        """Method-grid validity predicate (reference ``:161-186`` keeps the
+        same rules; the bf16-capability rule passes trivially on TPU)."""
         if any(
             [
                 self.benchmarking_steps <= 0,

@@ -1,0 +1,129 @@
+"""Fresh-process probe isolation: a dying worker never takes down the search."""
+
+import numpy as np
+import pytest
+
+from multimodal_llm_pretraining_tpu.benchmarking.isolation import classify_worker_failure, run_probe_worker
+from multimodal_llm_pretraining_tpu.benchmarking.max_batch_size import find_max_mbs_pow2
+from multimodal_llm_pretraining_tpu.benchmarking.utils import BenchmarkHarness
+from multimodal_llm_pretraining_tpu.experiments.config import TrainingConfig
+from multimodal_llm_pretraining_tpu.experiments.training_time_empirical import benchmark_step_time
+from multimodal_llm_pretraining_tpu.models import get_model_class
+from multimodal_llm_pretraining_tpu.parallel.mesh import MeshConfig
+from multimodal_llm_pretraining_tpu.train import TrainingPlan
+
+
+def _harness():
+    mc = get_model_class("pythia-14m")
+    plan = TrainingPlan(
+        num_training_steps=1,
+        micro_batch_size=1,
+        gradient_accumulation_steps=1,
+        optimizer=mc.optimizer,
+        optimizer_kwargs=mc.optimizer_kwargs,
+        scheduler_type=mc.scheduler_type,
+        scheduler_kwargs=mc.scheduler_kwargs,
+        max_grad_norm=mc.max_grad_norm,
+        use_custom_kernels=False,
+        mesh=MeshConfig(num_hosts=1, chips_per_host=8),
+    )
+    h = BenchmarkHarness(plan, mc)
+    h.session.dataset.sequence_length = 17
+    return h
+
+
+def test_search_survives_poisoned_runtime_probe():
+    """Simulate the failure the subprocess model exists for: runtime probes
+    above mbs=2 'die' (as a crashed worker reports False); the parent search
+    must keep going and return the correct answer -- with no in-process
+    device state at risk."""
+    probed = []
+
+    def confirm(mbs):
+        probed.append(mbs)
+        return mbs <= 2  # mbs 4, 8 statically fit but die at runtime
+
+    best = find_max_mbs_pow2(_harness(), limit=8, hbm_budget_bytes=1 << 40, confirm=confirm)
+    assert best == 2
+    assert probed == [8, 4, 2]  # halving walked down through the failures
+
+
+def test_failure_classification():
+    assert classify_worker_failure("... RESOURCE_EXHAUSTED: Ran out of memory ...") == {"oom": True}
+    assert classify_worker_failure("Mosaic lowering failed for op ...") == {"lowering_failure": True}
+    assert classify_worker_failure("SyntaxError: invalid syntax") is None
+
+
+def test_probe_worker_end_to_end():
+    """The real worker subprocess: builds the plan from JSON, runs one
+    confirm step on the (inherited virtual CPU) mesh, reports ok."""
+    cfg = TrainingConfig(num_hosts=1, chips_per_host=8, tpu_type="v5e", model="pythia-14m")
+    result = run_probe_worker(
+        {
+            "op": "confirm",
+            "config": cfg.__dict__,
+            "micro_batch_size": 1,
+            "dataset_overrides": {"sequence_length": 17},
+        },
+        timeout=420,
+    )
+    assert result.get("ok") is True
+
+
+_timing_fn = benchmark_step_time.__wrapped_step__
+
+
+def _cfg(**kw):
+    base = dict(num_hosts=1, chips_per_host=8, tpu_type="v5e", model="pythia-14m")
+    base.update(kw)
+    return TrainingConfig(**base)
+
+
+def test_step_time_halves_when_worker_ooms():
+    calls = []
+
+    def fake_worker(spec):
+        calls.append(spec["micro_batch_size"])
+        if spec["micro_batch_size"] > 2:
+            return {"oom": True}
+        return {"ok": True, "accumulate_s": 0.5, "optimizer_s": 0.1, "micro_batch_size": spec["micro_batch_size"]}
+
+    res = _timing_fn(_cfg(), max_micro_batch_size=8, target_micro_batch_size=8,
+                     num_benchmarking_steps=3, _run_worker=fake_worker)
+    assert res["micro_batch_size"] == 2
+    assert calls == [8, 4, 2]
+    # extrapolation: acc * (8 // 2) + optim
+    assert np.isclose(res["step_time"], 0.5 * 4 + 0.1)
+    assert res["compile_disabled"] is False
+
+
+def test_step_time_falls_back_on_lowering_failure():
+    """A Pallas/Mosaic lowering failure under free-lunch retries exactly once
+    on plain XLA kernels (the reference's compile-timeout fallback analog)."""
+    seen_overrides = []
+
+    def fake_worker(spec):
+        seen_overrides.append(dict(spec["plan_overrides"]))
+        if not spec["plan_overrides"]:
+            return {"lowering_failure": True}
+        return {"ok": True, "accumulate_s": 1.0, "optimizer_s": 0.2, "micro_batch_size": spec["micro_batch_size"]}
+
+    res = _timing_fn(_cfg(free_lunch=True), max_micro_batch_size=4, target_micro_batch_size=4,
+                     num_benchmarking_steps=1, _run_worker=fake_worker)
+    assert res["compile_disabled"] is True
+    assert seen_overrides == [{}, {"use_custom_kernels": False, "compile": False}]
+
+
+def test_step_time_lowering_failure_without_fallback_raises():
+    def fake_worker(spec):
+        return {"lowering_failure": True}
+
+    with pytest.raises(RuntimeError, match="no fallback"):
+        _timing_fn(_cfg(free_lunch=False), max_micro_batch_size=2, target_micro_batch_size=2,
+                   num_benchmarking_steps=1, _run_worker=fake_worker)
+
+
+def test_step_time_gives_up_below_mbs_one():
+    res = _timing_fn(_cfg(), max_micro_batch_size=2, target_micro_batch_size=2,
+                     num_benchmarking_steps=1, _run_worker=lambda spec: {"oom": True})
+    assert res is None
