@@ -58,6 +58,68 @@ def test_llava_dataset_and_collator(llava_corpus):
     assert (batch["labels"][:, :3] == IGNORE_INDEX).all()
 
 
+class RecordedTokenizer:
+    """Deterministic stand-in with the REAL llama-3 ids for every token the
+    chat template itself emits, plus a recorded vocabulary for the fixture
+    strings -- so the expected stream below is a recorded reference encoding
+    of the template structure."""
+
+    pad_token_id = 128002
+    bos_token_id = 128000
+    eos_token_id = 128009
+    RECORDED = {
+        "system": [9125],
+        "user": [882],
+        "assistant": [78191],
+        "\n\n": [271],
+        "Cutting Knowledge Date: December 2023\nToday Date: 26 Jul 2024\n\n": [1000, 1001],
+        "\nWhat is this?": [50, 51, 52, 53],
+        "A cat.": [60, 61, 62],
+        "\nAnd now?": [54, 55],
+        "A dog.": [63, 64, 65],
+    }
+
+    def encode(self, text, add_special_tokens=True):
+        assert not add_special_tokens
+        return list(self.RECORDED[text])
+
+
+def test_llava_chat_template_fixture():
+    """Recorded-encoding fixture: the emulated template must produce the
+    llama-3 stream (bos, system preamble block, per-turn header blocks, one
+    <image> token in place) and the reference label algorithm must unmask
+    exactly the assistant content spans + every <|eot_id|>."""
+    from multimodal_llm_pretraining_tpu.data.llava_data import END_HEADER_ID, START_HEADER_ID
+
+    conv = [
+        {"role": "user", "content": "<image>\nWhat is this?"},
+        {"role": "assistant", "content": "A cat."},
+        {"role": "user", "content": "\nAnd now?"},
+        {"role": "assistant", "content": "A dog."},
+    ]
+    collator = LlavaCollator(split="pretrain", tokenizer=RecordedTokenizer(), max_length=64)
+    ids = collator._encode_chat(conv)
+
+    expected = (
+        [128000]
+        + [START_HEADER_ID, 9125, END_HEADER_ID, 271, 1000, 1001, 128009]  # system + date preamble
+        + [START_HEADER_ID, 882, END_HEADER_ID, 271, IMAGE_TOKEN_ID, 50, 51, 52, 53, 128009]
+        + [START_HEADER_ID, 78191, END_HEADER_ID, 271, 60, 61, 62, 128009]
+        + [START_HEADER_ID, 882, END_HEADER_ID, 271, 54, 55, 128009]
+        + [START_HEADER_ID, 78191, END_HEADER_ID, 271, 63, 64, 65, 128009]
+    )
+    assert ids == expected
+
+    labels = collator._labels_for(np.asarray(ids), collator._assistant_lens(conv))
+    keep = labels != IGNORE_INDEX
+    expect_keep = np.zeros(len(ids), bool)
+    for tok in (60, 61, 62, 63, 64, 65, 128009):
+        expect_keep |= np.asarray(ids) == tok
+    np.testing.assert_array_equal(keep, expect_keep)
+    # the kept labels are the token ids themselves
+    np.testing.assert_array_equal(labels[keep], np.asarray(ids)[keep])
+
+
 def test_vilt_pretrain_collator(llava_corpus):
     ds = LlavaDatasetforVilt(split="pretrain", data_dir=llava_corpus)
     collator = ViltCollator(split="pretrain", tokenizer=SimpleTokenizer(), image_size=32, max_length=32)

@@ -64,3 +64,74 @@ def test_speedups(fake_results, capsys):
     speedups(1, 1, "v5e", "pythia-160m")
     out = capsys.readouterr().out
     assert "speedup: 1.10x" in out
+
+
+def test_analytic_vs_empirical_agreement_on_committed_grids():
+    """North-star check (BASELINE.md): the analytic projection with the
+    recorded per-model calibrated MFU agrees with the measured best arm
+    within 10%, for every committed v5e search grid that has a calibration."""
+    import os
+
+    import pandas as pd
+
+    from scripts.analytic_vs_empirical import CALIBRATED_MFU, compare
+
+    root = os.path.join(os.path.dirname(__file__), "..", "artifacts")
+    checked = 0
+    for model in CALIBRATED_MFU["v5e"]:
+        path = os.path.join(root, f"{model}_v5e_search.csv")
+        if not os.path.exists(path):
+            continue
+        result = compare(model, "v5e", pd.read_csv(path))
+        assert result["agreement_pct"] <= 10.0, (model, result["agreement_pct"])
+        # and the committed JSON artifact matches the recomputation
+        jpath = os.path.join(root, f"analytic_vs_empirical_{model}_v5e.json")
+        if os.path.exists(jpath):
+            import json
+
+            with open(jpath) as f:
+                recorded = json.load(f)
+            assert abs(recorded["agreement_pct"] - result["agreement_pct"]) < 1e-6
+        checked += 1
+    assert checked >= 3
+
+
+def test_survey_pipeline(tmp_path):
+    """Survey preprocessing + plots on a synthetic raw export (the reference
+    ships the notebook but not the data, so synthetic is the only testable
+    path there too)."""
+    import numpy as np
+    import pandas as pd
+
+    from scripts.plotting.survey import SURVEY_COLUMNS, availability_table, preprocess_survey, survey_plots
+
+    n = 12
+    rng = np.random.default_rng(0)
+    payload = {
+        "role": rng.choice(["PhD student", "Postdoc", "Faculty"], n),
+        "areas": ["NLP, CV"] * n,
+        "uses": ["Pretraining, Finetuning"] * n,
+        "satisfaction": rng.integers(1, 6, n),
+        "cloud_budget": rng.choice([0, 500, 1000], n),
+    }
+    for tier in ("desktop", "workstation", "data_center"):
+        payload[f"{tier}_gen"] = rng.choice(["Ampere A100", "Turing T4", "None"], n)
+        payload[f"{tier}_mem"] = rng.choice(["24", "40", "80"], n)
+        for c in (1, 2, 4, 8, 16, 32, 64):
+            payload[f"{tier}_{c}"] = rng.choice(["x", None], n)
+    payload["gpu_link"] = ["NVLink"] * n
+    payload["node_link"] = ["IB"] * n
+    # 4 leading metadata columns, like the raw form export
+    raw = pd.DataFrame({f"meta_{i}": range(n) for i in range(4)}).join(pd.DataFrame(payload))
+    raw_csv = tmp_path / "raw_survey.csv"
+    raw.to_csv(raw_csv, index=False)
+
+    df = preprocess_survey(str(raw_csv), str(tmp_path / "survey.csv"))
+    assert list(df.columns) == SURVEY_COLUMNS
+    table = availability_table(df)
+    assert table.shape == (3, 7)
+    written = survey_plots(df, str(tmp_path / "plots"))
+    import os
+
+    assert all(os.path.exists(p) for p in written)
+    assert any(p.endswith("role.png") for p in written)

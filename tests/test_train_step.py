@@ -65,7 +65,10 @@ def test_sharding_methods_agree(sharding):
 
 @pytest.mark.parametrize("sharding", ["fsdp_hybrid_shard", "fsdp_hybrid_shard_zero2", "zero_3++"])
 def test_hybrid_sharding(sharding):
-    """Hybrid methods need a 2D (replica x data) mesh: 2 'hosts' x 4 chips."""
+    """Hybrid methods need a 2D (replica x data) mesh: 2 'hosts' x 4 chips --
+    and must reproduce the unsharded trajectory. zero_3++ deliberately
+    perturbs it (int8 weight gathers + int8 grad reduce-scatter), so it gets
+    a quantization-error bound instead of float tolerance."""
     mc = get_model_class("pythia-14m")
     plan = tiny_plan(mc, sharding=sharding, mesh=MeshConfig(num_hosts=2, chips_per_host=4))
     sess = plan.build_session(mc)
@@ -74,6 +77,10 @@ def test_hybrid_sharding(sharding):
     assert sess.mesh.shape["data"] == 4
     loss = run_two_steps(sess)
     assert np.isfinite(loss)
+    if sharding == "zero_3++":
+        assert abs(loss - _baseline_loss()) / _baseline_loss() < 0.02
+    else:
+        np.testing.assert_allclose(loss, _baseline_loss(), rtol=2e-4)
 
 
 def test_split_acc_optim_path_matches_fused():
@@ -102,14 +109,22 @@ def test_split_acc_optim_path_matches_fused():
 
 
 def test_tensor_parallel_axis():
-    """GSPMD tensor parallelism via tp_rules: 4-way data x 2-way model."""
+    """GSPMD tensor parallelism via tp_rules: 4-way data x 2-way model.
+    Partitioned matmuls are layout, not numerics: the trajectory must match
+    a data-parallel baseline with the SAME global batch (4 data shards)."""
     mc = get_model_class("pythia-14m")
+    base = tiny_plan(mc, sharding="", mesh=MeshConfig(num_hosts=1, chips_per_host=4)).build_session(mc)
+    base.dataset.sequence_length = 33
+    base_loss = run_two_steps(base)
+
     plan = tiny_plan(mc, sharding="zero_3", mesh=MeshConfig(num_hosts=1, chips_per_host=8, tensor_parallel=2))
     sess = plan.build_session(mc)
     sess.dataset.sequence_length = 33
     assert sess.mesh.shape["model"] == 2
+    assert sess.global_micro_batch_size() == base.global_micro_batch_size()
     loss = run_two_steps(sess)
     assert np.isfinite(loss)
+    np.testing.assert_allclose(loss, base_loss, rtol=2e-4)
 
 
 def test_grad_accum_equivalence():
