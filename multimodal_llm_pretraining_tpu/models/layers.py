@@ -148,22 +148,44 @@ class GatedMlp(nn.Module):
         return nn.Dense(x.shape[-1], use_bias=False, dtype=self.dtype, name="down")(y)
 
 
-def make_stack(block_cls, num_layers: int, remat: bool, name: str = "layers", **block_kwargs):
+def make_stack(
+    block_cls,
+    num_layers: int,
+    remat: bool,
+    name: str = "layers",
+    checkpoint_policy: str = "flash",
+    **block_kwargs,
+):
     """Scan a block over the layer axis; optional remat per block.
 
-    Remat policy: everything recomputes except the flash-attention residuals
-    (``flash_out``/``flash_lse``, named in ``ops/flash_attention.py``) --
-    re-running the attention kernel in the backward pass costs far more than
-    storing its [B,H,S,D] output. When no flash kernel is in the graph (XLA
-    attention path) the policy saves nothing, i.e. plain full remat, matching
-    HF ``gradient_checkpointing`` semantics.
+    Remat policies (``checkpoint_policy``):
+
+    - ``"flash"`` (default): everything recomputes except the flash-attention
+      residuals (``flash_out``/``flash_lse``, named in
+      ``ops/flash_attention.py``) -- re-running the attention kernel in the
+      backward pass costs far more than storing its [B,H,S,D] output. When no
+      flash kernel is in the graph (XLA attention path) the policy saves
+      nothing, i.e. plain full remat, matching HF ``gradient_checkpointing``
+      semantics. Maximum memory savings; recompute costs ~1 extra forward.
+    - ``"dots"``: additionally saves every matmul output, so the backward
+      recomputes only elementwise ops (activations, layernorms, rotary).
+      Near-zero recompute FLOPs for ~2.5x the activation memory of "flash" --
+      the right trade when HBM allows it (e.g. pythia-1b with the streaming
+      host-offload optimizer). No torch analog: HF gradient_checkpointing is
+      all-or-nothing per block.
 
     Returns a module instance whose __call__ is (carry, inputs...) -> carry.
     Blocks must have signature ``__call__(self, x, *args)`` returning x.
     """
     cls = block_cls
     if remat:
-        policy = jax.checkpoint_policies.save_only_these_names("flash_out", "flash_lse")
+        flash_names = jax.checkpoint_policies.save_only_these_names("flash_out", "flash_lse")
+        if checkpoint_policy == "dots":
+            policy = jax.checkpoint_policies.save_from_both_policies(
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable, flash_names
+            )
+        else:
+            policy = flash_names
         cls = nn.remat(cls, prevent_cse=False, static_argnums=(), policy=policy)
     scanned = nn.scan(
         cls,

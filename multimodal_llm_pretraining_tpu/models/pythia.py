@@ -68,6 +68,7 @@ class GPTNeoXLM(nn.Module):
     vocab_size: int = VOCAB_SIZE
     attn_impl: str = "xla"
     remat: bool = False
+    checkpoint_policy: str = "flash"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -81,6 +82,7 @@ class GPTNeoXLM(nn.Module):
             GPTNeoXBlock,
             self.num_layers,
             remat=self.remat,
+            checkpoint_policy=self.checkpoint_policy,
             hidden=self.hidden,
             num_heads=self.num_heads,
             attn_impl=self.attn_impl,
@@ -112,6 +114,7 @@ class PythiaModelClass(LanguageModelClass[PythiaT]):
         use_custom_kernels: bool = True,
         activation_checkpointing: bool = False,
         compute_dtype=None,
+        checkpoint_policy: str = "flash",
     ) -> ModelBundle:
         from ..ops.attention import default_attn_impl
 
@@ -124,6 +127,7 @@ class PythiaModelClass(LanguageModelClass[PythiaT]):
             num_heads=heads,
             attn_impl=default_attn_impl(use_custom_kernels),
             remat=activation_checkpointing,
+            checkpoint_policy=checkpoint_policy,
             dtype=compute_dtype,
         )
 

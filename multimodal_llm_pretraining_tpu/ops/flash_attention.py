@@ -53,27 +53,31 @@ def _interpret() -> bool:
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale, causal, block_k, kv_seq):
     # q_ref: [1, block_q, D]; k_ref/v_ref: [1, kv_pad, D]
+    # sm_scale is folded into q once (one [block_q, D] mul) rather than into
+    # every [block_q, block_k] score block: the softmax is VPU-bound at small
+    # head dims, so each saved elementwise pass over the scores matters.
     _, block_q, head_dim = q_ref.shape
     qi = pl.program_id(1)
     q_start = qi * block_q
 
-    q = q_ref[0]
+    q = (q_ref[0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
     in_dtype = q.dtype
     num_kb = pl.cdiv(kv_seq, block_k)
 
-    def body(kb, carry):
+    def body(kb, carry, masked):
         acc, m_i, l_i = carry
         k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
         v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
         # bf16 x bf16 -> f32 accumulation: native MXU path
-        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT) * sm_scale
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
 
-        k_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        mask = k_idx < kv_seq
-        if causal:
-            q_idx = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-            mask = jnp.logical_and(mask, q_idx >= k_idx)
-        s = jnp.where(mask, s, NEG_INF)
+        if masked:
+            k_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            mask = k_idx < kv_seq
+            if causal:
+                q_idx = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+                mask = jnp.logical_and(mask, q_idx >= k_idx)
+            s = jnp.where(mask, s, NEG_INF)
 
         m_new = jnp.maximum(m_i, jnp.max(s, axis=1))
         p = jnp.exp(s - m_new[:, None])
@@ -87,11 +91,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale, causal, block_
         num_kb_eff = jnp.minimum(num_kb, pl.cdiv(q_start + block_q, block_k))
     else:
         num_kb_eff = num_kb
+    # blocks needing no mask work: fully below the diagonal AND within bounds.
+    # q_start is multiple_of(block_q); interior count is exact, not a bound.
+    num_kb_full = jnp.minimum(q_start // block_k, kv_seq // block_k) if causal else kv_seq // block_k
 
     acc = jnp.zeros((block_q, head_dim), jnp.float32)
     m_i = jnp.full((block_q,), NEG_INF, jnp.float32)
     l_i = jnp.zeros((block_q,), jnp.float32)
-    acc, m_i, l_i = jax.lax.fori_loop(0, num_kb_eff, body, (acc, m_i, l_i))
+    carry = (acc, m_i, l_i)
+    carry = jax.lax.fori_loop(0, num_kb_full, functools.partial(body, masked=False), carry)
+    acc, m_i, l_i = jax.lax.fori_loop(num_kb_full, num_kb_eff, functools.partial(body, masked=True), carry)
 
     l_safe = jnp.where(l_i > 0, l_i, 1.0)
     o_ref[0] = (acc / l_safe[:, None]).astype(o_ref.dtype)
@@ -107,23 +116,26 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, s
     qi = pl.program_id(1)
     q_start = qi * block_q
 
-    q = q_ref[0]
+    # scale folds into q (only used for scores here); ds carries sm_scale for
+    # the dq matmul against *unscaled* k
+    q = (q_ref[0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
     in_dtype = q.dtype
     do = do_ref[0]
     lse = lse_ref[0, :, 0]
     delta = delta_ref[0, :, 0]
     num_kb = pl.cdiv(kv_seq, block_k)
 
-    def body(kb, dq):
+    def body(kb, dq, masked):
         k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
         v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
-        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT) * sm_scale
-        k_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        mask = k_idx < kv_seq
-        if causal:
-            q_idx = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-            mask = jnp.logical_and(mask, q_idx >= k_idx)
-        s = jnp.where(mask, s, NEG_INF)
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
+        if masked:
+            k_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            mask = k_idx < kv_seq
+            if causal:
+                q_idx = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+                mask = jnp.logical_and(mask, q_idx >= k_idx)
+            s = jnp.where(mask, s, NEG_INF)
         p = jnp.exp(s - lse[:, None])
         dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
         ds = (p * (dp - delta[:, None]) * sm_scale).astype(in_dtype)
@@ -133,7 +145,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, s
         num_kb_eff = jnp.minimum(num_kb, pl.cdiv(q_start + block_q, block_k))
     else:
         num_kb_eff = num_kb
-    dq = jax.lax.fori_loop(0, num_kb_eff, body, jnp.zeros((block_q, head_dim), jnp.float32))
+    num_kb_full = jnp.minimum(q_start // block_k, kv_seq // block_k) if causal else kv_seq // block_k
+    dq = jnp.zeros((block_q, head_dim), jnp.float32)
+    dq = jax.lax.fori_loop(0, num_kb_full, functools.partial(body, masked=False), dq)
+    dq = jax.lax.fori_loop(num_kb_full, num_kb_eff, functools.partial(body, masked=True), dq)
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
@@ -145,23 +160,26 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_
     k_blk = k_ref[0]
     v_blk = v_ref[0]
     in_dtype = k_blk.dtype
+    # scale folds into k (only used for scores here): q must stay unscaled for
+    # the dk = ds^T @ q matmul (ds already carries sm_scale)
+    k_scaled = (k_blk.astype(jnp.float32) * sm_scale).astype(in_dtype)
     k_idx = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
     kv_keep = k_idx < kv_seq
     num_qb = pl.cdiv(q_seq, block_q)
 
-    def body(qi, carry):
+    def body(qi, carry, masked):
         dk, dv = carry
-        # q stays unscaled here: ds already carries sm_scale, so dk = ds^T @ q
         q = q_ref[0, pl.ds(qi * block_q, block_q), :]
         do = do_ref[0, pl.ds(qi * block_q, block_q), :]
         lse = lse_ref[0, pl.ds(qi * block_q, block_q), 0]
         delta = delta_ref[0, pl.ds(qi * block_q, block_q), 0]
-        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT) * sm_scale
-        q_idx = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-        mask = jnp.logical_and(kv_keep, q_idx < q_seq)
-        if causal:
-            mask = jnp.logical_and(mask, q_idx >= k_idx)
-        s = jnp.where(mask, s, NEG_INF)
+        s = jax.lax.dot_general(q, k_scaled, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
+        if masked:
+            q_idx = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            mask = jnp.logical_and(kv_keep, q_idx < q_seq)
+            if causal:
+                mask = jnp.logical_and(mask, q_idx >= k_idx)
+            s = jnp.where(mask, s, NEG_INF)
         p = jnp.exp(s - lse[:, None])
         dv = dv + jax.lax.dot_general(p.astype(in_dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
         dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
@@ -169,10 +187,22 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_
         dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
         return dk, dv
 
+    # Loop split: diagonal-straddling q blocks take the causal mask, interior
+    # blocks skip mask work entirely, the q-padding tail takes the bounds
+    # mask. A k block extending past kv_seq masks every iteration (empty full
+    # range).
     qb_start = k_start // block_q if causal else 0
+    diag_end = pl.cdiv(k_start + block_k, block_q) if causal else qb_start
+    diag_end = jnp.minimum(diag_end, num_qb)
+    kv_full = (k_start + block_k) <= kv_seq
+    full_hi = jnp.where(kv_full, jnp.maximum(diag_end, q_seq // block_q), diag_end)
+
     dk = jnp.zeros((block_k, head_dim), jnp.float32)
     dv = jnp.zeros((block_k, head_dim), jnp.float32)
-    dk, dv = jax.lax.fori_loop(qb_start, num_qb, body, (dk, dv))
+    carry = (dk, dv)
+    carry = jax.lax.fori_loop(qb_start, diag_end, functools.partial(body, masked=True), carry)
+    carry = jax.lax.fori_loop(diag_end, full_hi, functools.partial(body, masked=False), carry)
+    dk, dv = jax.lax.fori_loop(full_hi, num_qb, functools.partial(body, masked=True), carry)
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
@@ -231,6 +261,11 @@ def _flash_bwd_rule(causal, sm_scale, block_q, block_k, res, g):
     q, k, v, out, lse = res
     bh, q_seq, head_dim = q.shape
     kv_seq = k.shape[1]
+    # The dk/dv kernel keeps the whole (padded) q and do resident in VMEM on
+    # top of its score/probability tiles; at large head dims that sum crosses
+    # the 16 MB scoped-VMEM limit, so its inner q block shrinks instead
+    # (halving keeps it a divisor of the block_q-aligned padding).
+    block_q_dkv = block_q // 2 if (head_dim > 128 and block_q >= 256) else block_q
 
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # [BH, Sq]
 
@@ -257,7 +292,7 @@ def _flash_bwd_rule(causal, sm_scale, block_q, block_k, res, g):
     )(qp, kp, vp, dop, lsep, deltap)[:, :q_seq]
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q, q_seq=q_seq, kv_seq=kv_seq),
+        functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q_dkv, q_seq=q_seq, kv_seq=kv_seq),
         grid=(bh, kv_pad // block_k),
         in_specs=[
             pl.BlockSpec((1, q_pad, head_dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),

@@ -46,6 +46,10 @@ class TrainingPlan:
     gradient_accumulation_steps: int
 
     activation_checkpointing: bool = False
+    # "flash" = full remat keeping flash-attn residuals (HF gradient_checkpointing
+    # parity, max memory savings); "dots" = save all matmul outputs, recompute only
+    # elementwise ops (near-free recompute, ~2.5x the activation memory of "flash")
+    checkpoint_policy: Literal["flash", "dots"] = "flash"
     bf16: bool = False
     fp16: bool = False  # parity flag; executes as bf16 on TPU
     matmul_precision: MatmulPrecisionT = "highest"

@@ -30,7 +30,15 @@ from .optimizer import build_schedule
 class StreamingOffloadUpdater:
     """Hand-rolled Adam/AdamW with host-resident moments.
 
-    opt_state pytree: {"count": scalar, "mu": params-like, "nu": params-like}.
+    opt_state pytree: {"count": scalar, "mu": params-like, "nu": params-like}
+    plus, when ``master_weights`` is on, {"master": params-like f32}.
+
+    ``master_weights`` reproduces DeepSpeed ZeRO-Offload's bf16 layout
+    (reference ``src/train.py:203-213`` offload arms run DS bf16 mode): the
+    device holds ONLY the bf16 model copy; the f32 master parameters live in
+    pinned host memory next to the moments and stream leaf-by-leaf through
+    the update. Device HBM for parameters halves versus keeping an f32
+    master resident, and the per-microbatch f32->bf16 cast disappears.
     """
 
     def __init__(
@@ -42,6 +50,7 @@ class StreamingOffloadUpdater:
         num_training_steps: int,
         max_grad_norm: float,
         trainable_mask=None,
+        master_weights: bool = False,
     ):
         kwargs = dict(optimizer_kwargs)
         self.lr_base = float(kwargs.pop("lr"))
@@ -52,7 +61,9 @@ class StreamingOffloadUpdater:
         self.max_grad_norm = max_grad_norm
         self.schedule = build_schedule(scheduler_type, scheduler_kwargs, self.lr_base, num_training_steps)
         self.trainable_mask = trainable_mask
+        self.master_weights = master_weights
         self._leaf_update = jax.jit(self._leaf_update_impl, donate_argnums=(0, 2, 3), static_argnums=(6,))
+        self._cast = jax.jit(lambda m, dtype: m.astype(dtype), static_argnums=(1,))
         self._sq_sum = jax.jit(lambda g: jnp.sum(jnp.square(g.astype(jnp.float32))))
 
     # ------------------------------------------------------------ state
@@ -65,7 +76,17 @@ class StreamingOffloadUpdater:
             )
         else:
             zeros = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
-        return {"count": jnp.zeros((), jnp.int32), "mu": zeros, "nu": jax.tree.map(jnp.copy, zeros)}
+        state = {"count": jnp.zeros((), jnp.int32), "mu": zeros, "nu": jax.tree.map(jnp.copy, zeros)}
+        if self.master_weights:
+            if self.trainable_mask is not None:
+                state["master"] = jax.tree.map(
+                    lambda p, m: p.astype(jnp.float32) if m else jnp.zeros((), jnp.float32),
+                    params,
+                    self.trainable_mask,
+                )
+            else:
+                state["master"] = jax.tree.map(lambda p: p.astype(jnp.float32), params)
+        return state
 
     # ------------------------------------------------------------ update
 
@@ -103,35 +124,48 @@ class StreamingOffloadUpdater:
         g_leaves = treedef.flatten_up_to(grads)
         mu_leaves = treedef.flatten_up_to(opt_state["mu"])
         nu_leaves = treedef.flatten_up_to(opt_state["nu"])
+        master_leaves = treedef.flatten_up_to(opt_state["master"]) if self.master_weights else [None] * len(p_leaves)
         mask_leaves = (
             treedef.flatten_up_to(self.trainable_mask) if self.trainable_mask is not None else [True] * len(p_leaves)
         )
 
-        new_p, new_mu, new_nu = [], [], []
-        for p, g, mu, nu, tr in zip(p_leaves, g_leaves, mu_leaves, nu_leaves, mask_leaves):
+        new_p, new_mu, new_nu, new_master = [], [], [], []
+        for p, g, mu, nu, ms, tr in zip(p_leaves, g_leaves, mu_leaves, nu_leaves, master_leaves, mask_leaves):
             mu_sh = getattr(mu, "sharding", None)
-            p_sh = getattr(p, "sharding", None)
             mu_d = jax.device_put(mu, _device_twin(mu_sh, mesh)) if _is_host(mu_sh) else mu
             nu_d = jax.device_put(nu, _device_twin(mu_sh, mesh)) if _is_host(mu_sh) else nu
-            p_d = jax.device_put(p, _device_twin(p_sh, mesh)) if _is_host(p_sh) else p
-            p2, mu2, nu2 = self._leaf_update(p_d, g, mu_d, nu_d, clip_scale, count, bool(tr))
+            if self.master_weights and tr:
+                # f32 master streams host->device, updates, streams back; the
+                # device-resident bf16 copy is re-cast from the new master
+                ms_sh = getattr(ms, "sharding", None)
+                ms_d = jax.device_put(ms, _device_twin(ms_sh, mesh)) if _is_host(ms_sh) else ms
+                ms2, mu2, nu2 = self._leaf_update(ms_d, g, mu_d, nu_d, clip_scale, count, True)
+                p2 = self._cast(ms2, p.dtype)
+                if _is_host(ms_sh):
+                    ms2 = jax.device_put(ms2, ms_sh)
+                new_master.append(ms2)
+            else:
+                p_sh = getattr(p, "sharding", None)
+                p_d = jax.device_put(p, _device_twin(p_sh, mesh)) if _is_host(p_sh) else p
+                p2, mu2, nu2 = self._leaf_update(p_d, g, mu_d, nu_d, clip_scale, count, bool(tr))
+                if _is_host(p_sh):
+                    p2 = jax.device_put(p2, p_sh)
+                new_master.append(ms)
             if _is_host(mu_sh):
                 mu2 = jax.device_put(mu2, mu_sh)
                 nu2 = jax.device_put(nu2, mu_sh)
-            if _is_host(p_sh):
-                p2 = jax.device_put(p2, p_sh)
             new_p.append(p2)
             new_mu.append(mu2)
             new_nu.append(nu2)
 
-        return (
-            jax.tree_util.tree_unflatten(treedef, new_p),
-            {
-                "count": count + 1,
-                "mu": jax.tree_util.tree_unflatten(treedef, new_mu),
-                "nu": jax.tree_util.tree_unflatten(treedef, new_nu),
-            },
-        )
+        out_state = {
+            "count": count + 1,
+            "mu": jax.tree_util.tree_unflatten(treedef, new_mu),
+            "nu": jax.tree_util.tree_unflatten(treedef, new_nu),
+        }
+        if self.master_weights:
+            out_state["master"] = jax.tree_util.tree_unflatten(treedef, new_master)
+        return jax.tree_util.tree_unflatten(treedef, new_p), out_state
 
 
 def _is_host(sharding) -> bool:

@@ -55,10 +55,19 @@ class TrainSession:
         self.mesh = mesh if mesh is not None else build_mesh(plan.mesh_config(), devices=devices)
         self.policy = plan.sharding_policy()
 
+        build_kwargs: dict[str, Any] = {}
+        if getattr(plan, "checkpoint_policy", "flash") != "flash":
+            # only models that expose the knob accept it; "flash" is every
+            # build_model's default so omitting it is equivalent
+            import inspect
+
+            if "checkpoint_policy" in inspect.signature(model_class.build_model).parameters:
+                build_kwargs["checkpoint_policy"] = plan.checkpoint_policy
         self.bundle = model_class.build_model(
             use_custom_kernels=plan.use_custom_kernels,
             activation_checkpointing=plan.activation_checkpointing,
             compute_dtype=plan.compute_dtype,
+            **build_kwargs,
         )
         self.dataset = model_class.load_dummy_dataset()
 
@@ -66,6 +75,10 @@ class TrainSession:
         # updater (training/offload_update.py): fetching the whole Adam state
         # to HBM would defeat the offload.
         self.streaming_offload = self.policy.offload_optimizer and host_offload_supported()
+        # DeepSpeed ZeRO-Offload bf16 layout: under a host-offloaded optimizer
+        # with bf16 compute, the device keeps ONLY the bf16 model copy and the
+        # f32 master parameters live on the host with the moments.
+        self.master_offload = self.streaming_offload and plan.compute_dtype == jnp.bfloat16
         opt_kwargs = plan.optimizer_kwargs or model_class.optimizer_kwargs
         if self.streaming_offload:
             from .offload_update import StreamingOffloadUpdater
@@ -78,6 +91,7 @@ class TrainSession:
                 num_training_steps=plan.num_training_steps,
                 max_grad_norm=plan.max_grad_norm,
                 trainable_mask=self.bundle.trainable_mask,
+                master_weights=self.master_offload,
             )
             self.tx = type("TxFacade", (), {"init": staticmethod(self.updater.init)})()
         else:
@@ -95,7 +109,14 @@ class TrainSession:
         # Shardings from abstract shapes (no allocation).
         rng = jax.random.key(0)
         self.repl_sharding = named_sharding(self.mesh, P())
-        param_shapes = jax.eval_shape(self.bundle.init_fn, rng)
+        param_shapes_f32 = jax.eval_shape(self.bundle.init_fn, rng)
+        if self.master_offload:
+            # the live model copy is bf16; the f32 master rides in opt_state
+            param_shapes = jax.tree.map(
+                lambda s: jax.ShapeDtypeStruct(s.shape, plan.compute_dtype), param_shapes_f32
+            )
+        else:
+            param_shapes = param_shapes_f32
         opt_shapes = jax.eval_shape(self.tx.init, param_shapes)
         tp = self.bundle.tp_rules
         self.param_sharding = tree_shardings(
@@ -103,12 +124,17 @@ class TrainSession:
         )
         self.grad_sharding = tree_shardings(param_shapes, self.mesh, self.policy.grads, tp_rules=tp)
         if self.streaming_offload:
-            # moments host-resident; the step counter stays on device
+            # moments (and f32 masters) host-resident; the step counter stays
+            # on device
             self.opt_sharding = {
                 "count": self.repl_sharding,
                 "mu": tree_shardings(param_shapes, self.mesh, self.policy.opt_state, offload=True, tp_rules=tp),
                 "nu": tree_shardings(param_shapes, self.mesh, self.policy.opt_state, offload=True, tp_rules=tp),
             }
+            if self.master_offload:
+                self.opt_sharding["master"] = tree_shardings(
+                    param_shapes, self.mesh, self.policy.opt_state, offload=True, tp_rules=tp
+                )
         else:
             self.opt_sharding = tree_shardings(
                 opt_shapes, self.mesh, self.policy.opt_state, offload=self.policy.offload_optimizer, tp_rules=tp
@@ -123,13 +149,25 @@ class TrainSession:
         # torch never allocates frozen grads -- 6 GB of zeros for LLaVA's
         # frozen tower+LM otherwise). Frozen slots carry 0-d placeholders,
         # which broadcast harmlessly through both optimizer paths.
+        # Accumulation buffers are always f32, even when the live model copy
+        # is bf16 (master offload): per-microbatch grads round to bf16 once
+        # (torch bf16 parity) but summing across many microbatches must not.
+        grad_dtype = jnp.float32 if self.master_offload else None
         if self.bundle.trainable_mask is not None:
             self.grad_shapes = jax.tree.map(
-                lambda s, m: s if m else jax.ShapeDtypeStruct((), s.dtype), param_shapes, self.bundle.trainable_mask
+                lambda s, m: (
+                    jax.ShapeDtypeStruct(s.shape, grad_dtype or s.dtype)
+                    if m
+                    else jax.ShapeDtypeStruct((), grad_dtype or s.dtype)
+                ),
+                param_shapes,
+                self.bundle.trainable_mask,
             )
             self.grad_sharding = tree_shardings(self.grad_shapes, self.mesh, self.policy.grads, tp_rules=tp)
         else:
-            self.grad_shapes = param_shapes
+            self.grad_shapes = jax.tree.map(
+                lambda s: jax.ShapeDtypeStruct(s.shape, grad_dtype or s.dtype), param_shapes
+            )
 
         self._jitted: dict[str, Any] = {}
 
@@ -200,7 +238,13 @@ class TrainSession:
 
     def init_state(self, seed: int = 0) -> TrainState:
         rng = jax.random.key(seed)
-        params = jax.jit(self.bundle.init_fn, out_shardings=self.param_sharding)(rng)
+        if self.master_offload:
+            # live model copy is bf16; tx.init upcasts it into the f32 master
+            def init_fn(r):
+                return jax.tree.map(lambda p: p.astype(self.plan.compute_dtype), self.bundle.init_fn(r))
+        else:
+            init_fn = self.bundle.init_fn
+        params = jax.jit(init_fn, out_shardings=self.param_sharding)(rng)
         opt_state = jax.jit(self.tx.init, out_shardings=self.opt_sharding)(params)
         step = jnp.zeros((), jnp.int32)
         return TrainState(step=step, params=params, opt_state=opt_state)
@@ -290,9 +334,14 @@ class TrainSession:
         # out_shardings (host memory kinds) move offloaded state back
         return params, opt_state
 
-    def _compute_grads(self, params, batch, rng, step):
+    def _compute_grads(self, params, batch, rng, step, grads0=None):
         """Grad-accumulation over the batch's leading dim; returns summed
-        grads and summed loss."""
+        grads and summed loss.
+
+        ``grads0`` lets the caller pass a (donated) zeroed buffer as the scan
+        init so the accumulator aliases in place -- without it the scan carry
+        and the program output are distinct f32 buffers, an extra
+        params-sized allocation that pushed pythia-1b past HBM."""
         acc = self.plan.gradient_accumulation_steps
         rng = jax.random.fold_in(rng, step)
 
@@ -300,13 +349,17 @@ class TrainSession:
             # no accumulation buffer needed: grads flow straight to the update
             micro_batch = {k: v[0] for k, v in batch.items()}
             (loss_sum, _m), grads = self._value_and_grad(params, micro_batch, rng)
+            if grads0 is not None:
+                # keep the declared grads dtype (f32 buffers under bf16 params)
+                grads = jax.tree.map(jnp.add, grads0, grads)
         else:
             def micro(carry, mb):
                 grads, loss_sum = carry
                 g, loss = self._accumulate(params, grads, mb, rng)
                 return (g, loss_sum + loss), None
 
-            grads0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), self.grad_shapes)
+            if grads0 is None:
+                grads0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), self.grad_shapes)
             (grads, loss_sum), _ = jax.lax.scan(micro, (grads0, jnp.zeros((), jnp.float32)), batch)
         grads = jax.lax.with_sharding_constraint(grads, self.grad_sharding)
         return grads, loss_sum
@@ -348,12 +401,15 @@ class TrainSession:
         return self._jitted["upd"]
 
     def grads_fn(self):
-        """jit of the full grad-accumulation pass (no update)."""
+        """jit of the full grad-accumulation pass (no update). Takes a
+        donated zeroed grads buffer (``zero_grads()``) so the accumulator
+        aliases in place."""
         if "grads" not in self._jitted:
             self._jitted["grads"] = jax.jit(
-                self._compute_grads,
-                in_shardings=(self.param_sharding, None, self.repl_sharding, self.repl_sharding),
+                lambda params, grads0, batch, rng, step: self._compute_grads(params, batch, rng, step, grads0),
+                in_shardings=(self.param_sharding, self.grad_sharding, None, self.repl_sharding, self.repl_sharding),
                 out_shardings=(self.grad_sharding, self.repl_sharding),
+                donate_argnums=(1,),
             )
         return self._jitted["grads"]
 
@@ -369,7 +425,7 @@ class TrainSession:
             update = self.optimizer_update_fn()
 
             def stepped(state: TrainState, batch, rng):
-                grads, loss_sum = gfn(state.params, batch, rng, state.step)
+                grads, loss_sum = gfn(state.params, self.zero_grads(), batch, rng, state.step)
                 params, opt_state = update(state.params, state.opt_state, grads, float(acc))
                 return TrainState(step=state.step + 1, params=params, opt_state=opt_state), {"loss": loss_sum / acc}
 

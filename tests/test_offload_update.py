@@ -47,6 +47,39 @@ def test_streaming_matches_optax(optimizer, max_grad_norm):
             np.testing.assert_allclose(np.asarray(ka), np.asarray(kb), rtol=2e-5, atol=1e-7)
 
 
+def test_master_weights_mode_matches_f32_trajectory():
+    """ZeRO-Offload bf16 layout: updates computed on the f32 master must
+    track the plain-f32 updater exactly; the returned params are the bf16
+    cast of that master (not a bf16-resolution random walk)."""
+    kwargs = {"lr": 1e-2, "betas": (0.9, 0.95), "eps": 1e-8, "weight_decay": 0.01}
+    sched, sched_kwargs, steps = SchedulerType.LINEAR, {"num_warmup_steps": 1}, 8
+
+    params_f32 = make_tree(3)
+    upd_ref = StreamingOffloadUpdater("adam", dict(kwargs), sched, dict(sched_kwargs), num_training_steps=steps, max_grad_norm=1.0)
+    upd_master = StreamingOffloadUpdater(
+        "adam", dict(kwargs), sched, dict(sched_kwargs), num_training_steps=steps, max_grad_norm=1.0, master_weights=True
+    )
+
+    p_ref = jax.tree.map(jnp.copy, params_f32)
+    opt_ref = upd_ref.init(p_ref)
+    p_bf16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params_f32)
+    opt_m = upd_master.init(p_bf16)
+    # master initialized as the f32 upcast of the bf16 model copy
+    ref_master = jax.tree.map(lambda x: x.astype(jnp.bfloat16).astype(jnp.float32), params_f32)
+    p_ref = jax.tree.map(jnp.copy, ref_master)
+    opt_ref = upd_ref.init(p_ref)
+
+    for i in range(3):
+        grads = jax.tree.map(lambda p: jnp.cos(p.astype(jnp.float32) + i), params_f32)
+        p_ref, opt_ref = upd_ref(p_ref, opt_ref, grads, acc_steps=1.0)
+        p_bf16, opt_m = upd_master(p_bf16, opt_m, grads, acc_steps=1.0)
+        for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(opt_m["master"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8)
+        for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_bf16)):
+            np.testing.assert_array_equal(np.asarray(a, dtype=np.float32).astype(jnp.bfloat16), np.asarray(b))
+        assert all(l.dtype == jnp.bfloat16 for l in jax.tree.leaves(p_bf16))
+
+
 def test_streaming_respects_trainable_mask():
     params = make_tree()
     mask = {"w": False, "b": True, "stack": True}

@@ -40,6 +40,28 @@ def test_flash_grads_match_naive(causal):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("head_dim,block_q,block_k", [(64, 64, 64), (256, 256, 128)])
+def test_flash_multiblock_grads_match_naive(causal, head_dim, block_q, block_k):
+    """Small blocks force the loop-split paths: unmasked interior k/q blocks,
+    the diagonal-masked blocks, and the bounds-masked tail; head_dim 256 with
+    block_q 256 additionally exercises the halved dkv q-block (VMEM guard)."""
+    seq = 200 if head_dim == 64 else 600
+    q, k, v = (_rand((1, 2, seq, head_dim), s) for s in range(3))
+
+    def f_flash(q, k, v):
+        return (flash_attention(q, k, v, causal=causal, block_q=block_q, block_k=block_k) ** 2).sum()
+
+    def f_ref(q, k, v):
+        return (dot_product_attention(q, k, v, causal=causal, impl="naive") ** 2).sum()
+
+    with jax.default_matmul_precision("highest"):
+        g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
 def test_flash_cross_attention():
     q = _rand((2, 2, 300, 64), 0)
     k = _rand((2, 2, 150, 64), 1)

@@ -83,6 +83,20 @@ def test_hybrid_sharding(sharding):
         np.testing.assert_allclose(loss, _baseline_loss(), rtol=2e-4)
 
 
+@pytest.mark.parametrize("policy", ["flash", "dots"])
+def test_checkpoint_policies_agree(policy):
+    """Remat is a memory decision, not a numerics decision: both checkpoint
+    policies (full remat keeping flash residuals; save-dots light remat) must
+    reproduce the no-remat trajectory."""
+    mc = get_model_class("pythia-14m")
+    plan = tiny_plan(mc, sharding="", activation_checkpointing=True, checkpoint_policy=policy)
+    sess = plan.build_session(mc)
+    sess.dataset.sequence_length = 33
+    loss = run_two_steps(sess)
+    assert np.isfinite(loss)
+    np.testing.assert_allclose(loss, _baseline_loss(), rtol=2e-4)
+
+
 def test_split_acc_optim_path_matches_fused():
     """The benchmarking split (accumulate_fn + optimizer_update_fn) must be
     numerically equivalent to the fused train step."""
