@@ -1,12 +1,19 @@
-"""Headline benchmark: pythia tokens/sec/chip with the free-lunch method.
+"""Headline benchmark: pythia-1b tokens/sec/chip, ZeRO-Offload layout.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-vs_baseline compares achieved model-FLOPs utilization against the north-star
-45% MFU target (BASELINE.md): vs_baseline = MFU / 0.45. MFU uses XLA
-cost-analysis FLOPs for the fwd+bwd step against the chip's peak bf16 FLOPS
-from the registry (the reference's analytic peak-TFLOPS table analog,
-``experiments/training_time_analytic.py:24-47``).
+pythia-1b is the model BASELINE.md names for the north-star target (>=45%
+MFU). On one v5e it trains only via the streaming host-offload optimizer
+(bf16 device copy + f32 master/moments in pinned host memory, grouped
+leaf-at-a-time update programs); gradient accumulation 32 amortizes the
+per-step host round-trip exactly as the reference's grad_acc-16-per-4-GPU
+config would at one-chip scale (global batch 1024 => acc 256 on one chip).
+
+vs_baseline compares achieved model-FLOPs utilization against the 45% MFU
+target (BASELINE.md): vs_baseline = MFU / 0.45. MFU uses the analytic dense
+fwd+bwd FLOPs (remat recompute not credited) against the chip's datasheet
+peak bf16 FLOPS from the registry (the reference's analytic peak-TFLOPS
+table analog, ``experiments/training_time_analytic.py:24-47``).
 """
 
 import json
@@ -20,17 +27,20 @@ def main():
     from multimodal_llm_pretraining_tpu.parallel.mesh import MeshConfig
     from multimodal_llm_pretraining_tpu.tpus import detect_local_tpu, peak_tflops
     from multimodal_llm_pretraining_tpu.train import TrainingPlan
+    from multimodal_llm_pretraining_tpu.utils import block_on
 
-    model_type = "pythia-410m"
+    model_type = "pythia-1b"
     mc = get_model_class(model_type)
     n_chips = len(jax.devices())
 
-    micro_batch_size = 16
+    micro_batch_size = 4
+    acc_steps = 32
     plan = TrainingPlan(
         num_training_steps=8,
         micro_batch_size=micro_batch_size,
-        gradient_accumulation_steps=1,
+        gradient_accumulation_steps=acc_steps,
         activation_checkpointing=True,
+        checkpoint_policy="dots",
         bf16=True,
         compile=True,
         use_custom_kernels=True,
@@ -39,7 +49,8 @@ def main():
         optimizer_kwargs=mc.optimizer_kwargs,
         scheduler_type=mc.scheduler_type,
         scheduler_kwargs=mc.scheduler_kwargs,
-        sharding="" if n_chips == 1 else "zero_1",
+        sharding="zero_2",
+        offloading=True,
         max_grad_norm=mc.max_grad_norm,
         mesh=MeshConfig(num_hosts=1, chips_per_host=n_chips),
     )
@@ -47,15 +58,13 @@ def main():
     state = sess.init_state()
     step = sess.train_step_fn()
 
-    from multimodal_llm_pretraining_tpu.utils import block_on
-
     # warmup (compile + settle)
     for i in range(2):
         state, metrics = step(state, sess.make_train_batch(seed=i), jax.random.key(0))
-        block_on(metrics)
+        block_on((state.params, metrics))
 
     times = []
-    for i in range(2, 7):
+    for i in range(2, 5):
         batch = sess.make_train_batch(seed=i)
         block_on(batch)
         t0 = time.perf_counter()
@@ -64,7 +73,7 @@ def main():
         times.append(time.perf_counter() - t0)
 
     step_time = sorted(times)[len(times) // 2]  # median
-    tokens_per_step = micro_batch_size * n_chips * mc.sequence_length
+    tokens_per_step = micro_batch_size * acc_steps * n_chips * mc.sequence_length
     tokens_per_sec_per_chip = tokens_per_step / step_time / n_chips
 
     # MFU from the analytic dense-transformer FLOPs count (XLA cost_analysis
@@ -77,14 +86,14 @@ def main():
     mfu = None
     tpu_type = detect_local_tpu()
     if flops_per_example and tpu_type:
-        achieved_tflops = flops_per_example * micro_batch_size / step_time / 1e12
+        achieved_tflops = flops_per_example * micro_batch_size * acc_steps / step_time / 1e12
         mfu = achieved_tflops / peak_tflops(tpu_type, "bf16")
 
     vs_baseline = (mfu / 0.45) if mfu else None
     print(
         json.dumps(
             {
-                "metric": f"{model_type} tokens/sec/chip (free-lunch bf16, flash-attn, fused step)",
+                "metric": f"{model_type} tokens/sec/chip (ZeRO-Offload bf16, flash-attn, grouped host update)",
                 "value": round(tokens_per_sec_per_chip, 1),
                 "unit": "tokens/s/chip",
                 "vs_baseline": round(vs_baseline, 4) if vs_baseline else None,
@@ -93,6 +102,8 @@ def main():
                     "mfu": round(mfu, 4) if mfu else None,
                     "tpu": tpu_type,
                     "n_chips": n_chips,
+                    "micro_batch_size": micro_batch_size,
+                    "grad_accumulation": acc_steps,
                     "loss": round(float(metrics["loss"]), 4),
                 },
             }

@@ -21,6 +21,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models import OptimizerT, SchedulerType
 from ..parallel.sharding import named_sharding
@@ -62,6 +63,7 @@ class StreamingOffloadUpdater:
         self.schedule = build_schedule(scheduler_type, scheduler_kwargs, self.lr_base, num_training_steps)
         self.trainable_mask = trainable_mask
         self.master_weights = master_weights
+        self._group_jits: dict = {}
         self._leaf_update = jax.jit(self._leaf_update_impl, donate_argnums=(0, 2, 3), static_argnums=(6,))
         self._cast = jax.jit(lambda m, dtype: m.astype(dtype), static_argnums=(1,))
         self._sq_sum = jax.jit(lambda g: jnp.sum(jnp.square(g.astype(jnp.float32))))
@@ -107,9 +109,167 @@ class StreamingOffloadUpdater:
             step = step + lr * self.weight_decay * p
         return (p - step).astype(p.dtype), mu, nu
 
+    # ---------------------------------------------------- grouped streaming path
+
+    # Per-group budget of f32 master-parameter bytes. Device-twin peak per
+    # group is ~3x this (m, v, master) plus the update's temps -- small
+    # enough that two groups in flight stay far from the HBM ceiling.
+    GROUP_BYTES = 384 * 2**20
+
+    def _group_fn(self, sig, out_shardings, dev_twins):
+        """jit of one leaf-group's update (cached per shape signature).
+
+        A single whole-tree program does not work: XLA schedules every
+        host->device fetch up front, so the full f32 state (3x params)
+        materializes in HBM and defeats the offload. Bounded groups make the
+        peak structural, and the caller's python loop of async dispatches
+        pipelines group i+1's transfers under group i's execution.
+
+        ``dev_twins`` mirrors the (ps, mus, nus, mss) leaf tuples with either
+        ``None`` (operand already in device memory) or the device-memory twin
+        of its pinned-host sharding; host operands are ``device_put`` onto the
+        twin *inside* the program (XLA refuses mixed-memory-space compute),
+        and ``out_shardings`` with ``pinned_host`` kinds write results back.
+        """
+        sig = (
+            sig,
+            tuple(str(s) for s in jax.tree.leaves(out_shardings)),
+            tuple("-" if s is None else str(s) for s in jax.tree.leaves(dev_twins)),
+        )
+        if sig not in self._group_jits:
+            leaves = jax.tree.leaves(out_shardings)
+            outs = out_shardings if leaves and all(isinstance(s, jax.sharding.Sharding) for s in leaves) else None
+            p_tw, mu_tw, nu_tw, ms_tw = dev_twins
+
+            def to_dev(x, twin):
+                return jax.device_put(x, twin) if twin is not None else x
+
+            def fn(clip_scale, count, ps, gs, mus, nus, mss):
+                new_p, new_mu, new_nu, new_ms = [], [], [], []
+                for i, (p, g, mu, nu, ms) in enumerate(zip(ps, gs, mus, nus, mss if mss else [None] * len(ps))):
+                    p = to_dev(p, p_tw[i])
+                    mu = to_dev(mu, mu_tw[i])
+                    nu = to_dev(nu, nu_tw[i])
+                    src = to_dev(ms, ms_tw[i]) if self.master_weights else p
+                    s2, mu2, nu2 = self._leaf_update_impl(src, g, mu, nu, clip_scale, count, True)
+                    new_p.append(s2.astype(p.dtype) if self.master_weights else s2)
+                    new_mu.append(mu2)
+                    new_nu.append(nu2)
+                    if self.master_weights:
+                        new_ms.append(s2)
+                return tuple(new_p), tuple(new_mu), tuple(new_nu), tuple(new_ms)
+
+            self._group_jits[sig] = jax.jit(fn, out_shardings=outs, donate_argnums=(2, 3, 4, 5, 6))
+        return self._group_jits[sig]
+
+    def grouped(self, params, opt_state, grads, acc_steps: float, *, param_sharding, opt_sharding):
+        """Streamed update over bounded leaf groups -- the production path.
+
+        Each group is one jitted program taking its host-resident (m, v,
+        master) leaves plus device grads and params; out_shardings place the
+        new state back in pinned host memory. ~6 tunnel dispatches per LEAF
+        (the ``__call__`` fallback) become ~1 per GROUP.
+        """
+        count = opt_state["count"]
+        inv_acc = 1.0 / float(acc_steps)
+        if self.max_grad_norm and self.max_grad_norm > 0:
+            if "clip" not in self._group_jits:
+                self._group_jits["clip"] = jax.jit(
+                    lambda gs, inv: jnp.minimum(
+                        1.0,
+                        self.max_grad_norm
+                        / jnp.maximum(
+                            jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in jax.tree.leaves(gs))) * inv,
+                            1e-12,
+                        ),
+                    )
+                    * inv
+                )
+            clip_scale = self._group_jits["clip"](grads, inv_acc)
+        else:
+            clip_scale = jnp.asarray(inv_acc, jnp.float32)
+
+        p_leaves, treedef = jax.tree_util.tree_flatten(params)
+        g_leaves = treedef.flatten_up_to(grads)
+        mu_leaves = treedef.flatten_up_to(opt_state["mu"])
+        nu_leaves = treedef.flatten_up_to(opt_state["nu"])
+        master_leaves = treedef.flatten_up_to(opt_state["master"]) if self.master_weights else [None] * len(p_leaves)
+        mask_leaves = (
+            treedef.flatten_up_to(self.trainable_mask) if self.trainable_mask is not None else [True] * len(p_leaves)
+        )
+        p_sh = treedef.flatten_up_to(param_sharding)
+        mu_sh = treedef.flatten_up_to(opt_sharding["mu"])
+        ms_sh = treedef.flatten_up_to(opt_sharding["master"]) if self.master_weights else [None] * len(p_leaves)
+
+        new_p = list(p_leaves)
+        new_mu = list(mu_leaves)
+        new_nu = list(nu_leaves)
+        new_ms = list(master_leaves)
+
+        # bounded groups of trainable leaf indices
+        groups: list[list[int]] = []
+        size = self.GROUP_BYTES  # force a fresh group at the first leaf
+        for i, (p, tr) in enumerate(zip(p_leaves, mask_leaves)):
+            nbytes = 4 * int(np.prod(p.shape)) if p.shape else 4
+            if not tr:
+                continue
+            if size + nbytes > self.GROUP_BYTES and size > 0:
+                groups.append([])
+                size = 0
+            groups[-1].append(i)
+            size += nbytes
+
+        def twin(x):
+            sh = getattr(x, "sharding", None)
+            return _device_twin(sh, None) if _is_host(sh) else None
+
+        for idxs in groups:
+            sig = tuple((p_leaves[i].shape, str(p_leaves[i].dtype)) for i in idxs)
+            outs = (
+                tuple(p_sh[i] for i in idxs),
+                tuple(mu_sh[i] for i in idxs),
+                tuple(mu_sh[i] for i in idxs),
+                tuple(ms_sh[i] for i in idxs) if self.master_weights else (),
+            )
+            twins = (
+                tuple(twin(p_leaves[i]) for i in idxs),
+                tuple(twin(mu_leaves[i]) for i in idxs),
+                tuple(twin(nu_leaves[i]) for i in idxs),
+                tuple(twin(master_leaves[i]) for i in idxs)
+                if self.master_weights
+                else tuple(None for _ in idxs),
+            )
+            fn = self._group_fn(sig, outs, twins)
+            ps2, mus2, nus2, mss2 = fn(
+                clip_scale,
+                count,
+                tuple(p_leaves[i] for i in idxs),
+                tuple(g_leaves[i] for i in idxs),
+                tuple(mu_leaves[i] for i in idxs),
+                tuple(nu_leaves[i] for i in idxs),
+                tuple(master_leaves[i] for i in idxs) if self.master_weights else (),
+            )
+            for j, i in enumerate(idxs):
+                new_p[i] = ps2[j]
+                new_mu[i] = mus2[j]
+                new_nu[i] = nus2[j]
+                if self.master_weights:
+                    new_ms[i] = mss2[j]
+
+        out_state = {
+            "count": count + 1,
+            "mu": jax.tree_util.tree_unflatten(treedef, new_mu),
+            "nu": jax.tree_util.tree_unflatten(treedef, new_nu),
+        }
+        if self.master_weights:
+            out_state["master"] = jax.tree_util.tree_unflatten(treedef, new_ms)
+        return jax.tree_util.tree_unflatten(treedef, new_p), out_state
+
     def __call__(self, params, opt_state, grads, acc_steps: float, mesh=None):
-        """Streaming update. params/grads on device; mu/nu wherever their
-        shardings put them (pinned host under offload)."""
+        """Streaming update, one small program per leaf (fallback/reference
+        path; production steps use ``fused_impl`` under a single jit).
+        params/grads on device; mu/nu wherever their shardings put them
+        (pinned host under offload)."""
         count = opt_state["count"]
         inv_acc = 1.0 / float(acc_steps)
 

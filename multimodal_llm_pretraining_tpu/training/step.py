@@ -387,7 +387,14 @@ class TrainSession:
     def optimizer_update_fn(self):
         if self.streaming_offload:
             def streamed(params, opt_state, grads, acc_steps):
-                return self.updater(params, opt_state, grads, acc_steps, mesh=self.mesh)
+                return self.updater.grouped(
+                    params,
+                    opt_state,
+                    grads,
+                    acc_steps,
+                    param_sharding=self.param_sharding,
+                    opt_sharding=self.opt_sharding,
+                )
 
             return streamed
         if "upd" not in self._jitted:

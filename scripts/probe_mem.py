@@ -76,6 +76,16 @@ def main():
     show("init_params", jax.jit(sess.bundle.init_fn, out_shardings=sess.param_sharding).lower(rng_s))
     show("init_opt", jax.jit(sess.tx.init, out_shardings=sess.opt_sharding).lower(params_s))
 
+    # fused streamed update
+    if sess.streaming_offload:
+        opt_s = jax.tree.map(
+            lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+            jax.eval_shape(sess.tx.init, params_s),
+            sess.opt_sharding,
+        )
+        upd = sess.optimizer_update_fn()
+        show("fused_update", upd.lower(params_s, opt_s, grads_s, float(args.acc)))
+
 
 if __name__ == "__main__":
     main()

@@ -80,6 +80,36 @@ def test_master_weights_mode_matches_f32_trajectory():
         assert all(l.dtype == jnp.bfloat16 for l in jax.tree.leaves(p_bf16))
 
 
+def test_grouped_update_matches_per_leaf():
+    """grouped() (one jitted program per bounded leaf group) must be
+    numerically identical to the per-leaf dispatch path -- including when the
+    byte budget forces several groups."""
+    from types import SimpleNamespace
+
+    kwargs = {"lr": 1e-2, "betas": (0.9, 0.95), "eps": 1e-8, "weight_decay": 0.01}
+    upd = StreamingOffloadUpdater(
+        "adam", dict(kwargs), SchedulerType.LINEAR, {"num_warmup_steps": 1},
+        num_training_steps=8, max_grad_norm=1.0, master_weights=True,
+    )
+    upd.GROUP_BYTES = 256  # tiny budget: every leaf pair lands in its own group
+    params_f32 = make_tree(5)
+    p_a = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params_f32)
+    p_b = jax.tree.map(jnp.copy, p_a)
+    opt_a = upd.init(p_a)
+    opt_b = upd.init(p_b)
+
+    dummy = jax.tree.map(lambda _: SimpleNamespace(), params_f32)
+    for i in range(3):
+        grads = jax.tree.map(lambda p: jnp.sin(p.astype(jnp.float32) * 7 + i), params_f32)
+        p_a, opt_a = upd(p_a, opt_a, grads, acc_steps=2.0)
+        p_b, opt_b = upd.grouped(
+            p_b, opt_b, grads, 2.0, param_sharding=dummy,
+            opt_sharding={"mu": dummy, "nu": dummy, "master": dummy},
+        )
+        for a, b in zip(jax.tree.leaves((p_a, opt_a)), jax.tree.leaves((p_b, opt_b))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_streaming_respects_trainable_mask():
     params = make_tree()
     mask = {"w": False, "b": True, "stack": True}
