@@ -63,6 +63,12 @@ class TrainingPlan:
 
     sharding: ShardingMethodT = ""
     offloading: bool = False
+    # Gradient-accumulator dtype override (DeepSpeed bf16-mode
+    # ``grad_accum_dtype`` analog). None = automatic: f32 under master
+    # offload (summing across microbatches must not round), else the param
+    # dtype. "bf16" halves the accumulator -- the knob that lets mamba-2.8b
+    # (11.2 GB of f32 grads otherwise) fit on a 16 GB chip.
+    grad_accum_dtype: Literal["bf16", "f32", None] = None
 
     max_grad_norm: float = 1.0
     extra_args: dict[str, Any] = field(default_factory=dict)

@@ -149,10 +149,19 @@ class TrainSession:
         # torch never allocates frozen grads -- 6 GB of zeros for LLaVA's
         # frozen tower+LM otherwise). Frozen slots carry 0-d placeholders,
         # which broadcast harmlessly through both optimizer paths.
-        # Accumulation buffers are always f32, even when the live model copy
-        # is bf16 (master offload): per-microbatch grads round to bf16 once
+        # Accumulation buffers default to f32 when the live model copy is
+        # bf16 (master offload): per-microbatch grads round to bf16 once
         # (torch bf16 parity) but summing across many microbatches must not.
-        grad_dtype = jnp.float32 if self.master_offload else None
+        # plan.grad_accum_dtype overrides (bf16 halves the buffer -- the
+        # only way a 2.8b-param model's grads fit next to its bf16 params
+        # on a 16 GB chip).
+        override = getattr(plan, "grad_accum_dtype", None)
+        if override == "bf16":
+            grad_dtype = jnp.bfloat16
+        elif override == "f32":
+            grad_dtype = jnp.float32
+        else:
+            grad_dtype = jnp.float32 if self.master_offload else None
         if self.bundle.trainable_mask is not None:
             self.grad_shapes = jax.tree.map(
                 lambda s, m: (
@@ -320,7 +329,9 @@ class TrainSession:
 
     def _accumulate(self, params, grads, batch, rng):
         (loss, _metrics), g = self._value_and_grad(params, batch, rng)
-        grads = jax.tree.map(jnp.add, grads, g)
+        # keep the accumulator's declared dtype (bf16 under grad_accum_dtype
+        # override; the add itself promotes, so round once per microbatch)
+        grads = jax.tree.map(lambda a, x: (a + x).astype(a.dtype), grads, g)
         return grads, loss
 
     def _optimizer_update(self, params, opt_state, grads, acc_steps):

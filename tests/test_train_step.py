@@ -202,3 +202,22 @@ def test_frozen_params_under_sharded_optimizer():
     # a trainable param did move
     moved = np.asarray(state.params["final_ln"]["scale"])
     assert not np.array_equal(moved, np.ones_like(moved))
+
+
+def test_bf16_grad_accum_dtype_knob():
+    """grad_accum_dtype='bf16' halves the accumulator (the knob that fits
+    mamba-2.8b's grads on a 16 GB chip) and must stay close to the f32
+    trajectory over a few steps."""
+    mc = get_model_class("pythia-14m")
+    losses = {}
+    for dtype in ("f32", "bf16"):
+        plan = tiny_plan(mc, sharding="", bf16=True, grad_accum_dtype=dtype)
+        sess = plan.build_session(mc)
+        sess.dataset.sequence_length = 33
+        import jax.numpy as jnp
+
+        want = jnp.bfloat16 if dtype == "bf16" else jnp.float32
+        assert all(g.dtype == want for g in jax.tree.leaves(sess.grad_shapes))
+        losses[dtype] = run_two_steps(sess)
+    # bf16 accumulation rounds each microbatch add; trajectories agree loosely
+    assert abs(losses["bf16"] - losses["f32"]) / abs(losses["f32"]) < 2e-2
