@@ -15,6 +15,7 @@ resumable (``README.md:142-144``). Same model here, without the dependency:
   ``experiments/utils/__tango__.py:20-27``).
 """
 
+import dataclasses
 import functools
 import hashlib
 import os
@@ -30,9 +31,26 @@ logger = get_logger()
 
 def stable_repr(value: Any) -> str:
     """Deterministic repr for hashing: dataclasses hash by their repr (the
-    ``TangoStringHash`` trick, ``experiments/utils/__tango__.py:34-37``)."""
+    ``TangoStringHash`` trick, ``experiments/utils/__tango__.py:34-37``).
+
+    Dataclass fields still at their declared default are omitted, so adding
+    a new (defaulted) search dimension does not invalidate every previously
+    cached result -- only arms that actually set the new knob re-run."""
     if isinstance(value, StepCall):
         return f"StepCall({value.unique_id()})"
+    if dataclasses.is_dataclass(value) and not isinstance(value, type):
+        # Byte-identical to the dataclass auto-repr, except fields marked
+        # cache_omit_default are dropped while at their declared default --
+        # so a knob added later only re-keys the arms that actually set it.
+        parts = []
+        for f in dataclasses.fields(value):
+            if not f.repr:
+                continue
+            v = getattr(value, f.name)
+            if f.metadata.get("cache_omit_default") and f.default is not dataclasses.MISSING and v == f.default:
+                continue
+            parts.append(f"{f.name}={stable_repr(v)}")
+        return f"{type(value).__name__}({', '.join(parts)})"
     if isinstance(value, dict):
         return "{" + ",".join(f"{stable_repr(k)}:{stable_repr(v)}" for k, v in sorted(value.items(), key=lambda kv: str(kv[0]))) + "}"
     if isinstance(value, (list, tuple)):

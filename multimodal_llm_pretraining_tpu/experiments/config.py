@@ -60,6 +60,16 @@ class BaseConfig:
 class TrainingConfig(BaseConfig):
     free_lunch: bool = False
     activation_checkpointing: bool = False
+    # TPU value-add search axis: which residuals remat keeps. "flash" = HF
+    # gradient_checkpointing parity (recompute everything but flash-attn
+    # residuals, max memory savings); "dots" = save all matmul outputs
+    # (~25% faster step when the batch still fits). Only meaningful with
+    # activation_checkpointing; the sweep validity rule dedupes otherwise.
+    # cache_omit_default: adding this knob must not re-key already-measured
+    # arms (experiments/cache.stable_repr).
+    checkpoint_policy: Literal["flash", "dots"] = dataclasses.field(
+        default="flash", metadata={"cache_omit_default": True}
+    )
     sharding: ShardingT = ""
     offloading: bool = False
     tensor_parallel: int = 1  # TPU value-add: GSPMD model axis (reference has no TP)
@@ -81,6 +91,7 @@ class TrainingConfig(BaseConfig):
             micro_batch_size=1,
             gradient_accumulation_steps=1,
             activation_checkpointing=self.activation_checkpointing,
+            checkpoint_policy=self.checkpoint_policy,
             bf16=(model_class.mixed_precision == "bf16"),
             fp16=(model_class.mixed_precision == "fp16"),
             matmul_precision=matmul_precision,  # type: ignore[arg-type]

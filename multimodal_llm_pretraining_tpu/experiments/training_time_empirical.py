@@ -53,7 +53,7 @@ def _static_probe_harness(config: TrainingConfig) -> BenchmarkHarness:
     return BenchmarkHarness(plan, config.model_class())
 
 
-@step(cacheable=True, version="003")
+@step(cacheable=True, version="004")
 def find_largest_batch_size(config: TrainingConfig, limit: int) -> int:
     def search() -> int:
         harness = _static_probe_harness(config)
@@ -67,7 +67,7 @@ def find_largest_batch_size(config: TrainingConfig, limit: int) -> int:
     return distribute(func=search, workers_per_host=config.chips_per_host)
 
 
-@step(cacheable=True, version="003")
+@step(cacheable=True, version="004")
 def benchmark_step_time(
     config: TrainingConfig,
     max_micro_batch_size: int,
@@ -119,7 +119,7 @@ def benchmark_step_time(
     return None
 
 
-@step(cacheable=True, version="003")
+@step(cacheable=True, version="004")
 def compute_training_days(benchmarking_results: BenchmarkingResults | None, num_steps: int) -> float | None:
     if benchmarking_results is None:
         return None
@@ -151,6 +151,9 @@ class TrainingTimeEmpirical(Experiment):
                 # per-chip batch must be a power of two
                 not math.log2(self.model_cls.batch_size // self.config.num_chips).is_integer(),
                 self.config.activation_checkpointing and not self.model_cls.supports_activation_checkpointing,
+                # checkpoint_policy is a remat knob: without remat only the
+                # default label is valid (dedupes the cartesian grid)
+                not self.config.activation_checkpointing and self.config.checkpoint_policy != "flash",
                 self.model_cls.mixed_precision == "bf16" and not self.config.supports_bf16(),
                 # no sharding on a single chip (no-op) unless offloading
                 self.config.num_chips == 1 and self.config.sharding != "" and not self.config.offloading,

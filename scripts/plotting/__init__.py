@@ -18,7 +18,8 @@ def method_label(row) -> str:
     if row.get("free_lunch"):
         parts.append("free-lunch")
     if row.get("activation_checkpointing"):
-        parts.append("ckpt")
+        policy = row.get("checkpoint_policy", "flash")
+        parts.append("ckpt" if policy in (None, "flash") else f"ckpt[{policy}]")
     if row.get("sharding"):
         parts.append(str(row["sharding"]))
     if row.get("offloading"):
@@ -38,6 +39,7 @@ def load_results(num_hosts: int, chips_per_host: int, tpu_type: str, model: str)
             model=[model],
             free_lunch=[False, True],
             activation_checkpointing=[False, True],
+            checkpoint_policy=["flash", "dots"],
             sharding=["", "zero_1", "zero_2", "zero_3", "fsdp_shard_grad_op", "fsdp_full_shard"],
             offloading=[False, True],
         )

@@ -49,8 +49,10 @@ def test_benchmark_count_command():
         ]
     )
     assert r.returncode == 0, r.stderr[-2000:]
-    # 2 ckpt x (1 unsharded + 5 sharded x 2 offload) = 22 valid experiments
-    assert "/ 22 experiments" in r.stdout
+    # (no-ckpt + ckpt[flash] + ckpt[dots]) x (1 unsharded + 5 sharded x
+    # 2 offload) = 33 valid experiments (the dots remat flavor only exists
+    # under activation checkpointing)
+    assert "/ 33 experiments" in r.stdout
 
 
 def test_benchmark_validates_divisibility():
