@@ -41,7 +41,11 @@ CALIBRATED_MFU = {
     "v5e": {
         "pythia-160m": 0.25,
         "pythia-410m": 0.29,
-        "pythia-1b": 0.37,
+        # round-1 calibration was 0.37; the round-2 grouped host update cut
+        # the optimizer phase and lifted the best split-protocol arm to
+        # 0.41 (round-2 measurement agreed with the 0.37 projection to
+        # 9.8%, inside the <=10% north star, before recalibration)
+        "pythia-1b": 0.41,
     }
 }
 
