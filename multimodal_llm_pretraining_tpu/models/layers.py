@@ -154,6 +154,7 @@ def make_stack(
     remat: bool,
     name: str = "layers",
     checkpoint_policy: str = "flash",
+    unroll: bool = False,
     **block_kwargs,
 ):
     """Scan a block over the layer axis; optional remat per block.
@@ -194,6 +195,12 @@ def make_stack(
         in_axes=nn.broadcast,  # non-carry args (masks) shared across layers
         length=num_layers,
         metadata_params={nn.PARTITION_NAME: "layers"},
+        # Full unroll keeps the stacked [L, ...] param layout but removes the
+        # XLA while-loop: the backward's layer-grad accumulation becomes a
+        # straight dynamic-update-slice chain XLA aliases in place, instead
+        # of a loop carry + output pair (2x the grad tree). That double
+        # buffer is what keeps pythia-2.8b off a single 16 GB chip.
+        unroll=num_layers if unroll else 1,
     )
     return scanned(name=name, **block_kwargs)
 

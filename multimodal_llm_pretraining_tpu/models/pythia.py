@@ -69,6 +69,7 @@ class GPTNeoXLM(nn.Module):
     attn_impl: str = "xla"
     remat: bool = False
     checkpoint_policy: str = "flash"
+    unroll_layers: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -83,6 +84,7 @@ class GPTNeoXLM(nn.Module):
             self.num_layers,
             remat=self.remat,
             checkpoint_policy=self.checkpoint_policy,
+            unroll=self.unroll_layers,
             hidden=self.hidden,
             num_heads=self.num_heads,
             attn_impl=self.attn_impl,
@@ -115,6 +117,7 @@ class PythiaModelClass(LanguageModelClass[PythiaT]):
         activation_checkpointing: bool = False,
         compute_dtype=None,
         checkpoint_policy: str = "flash",
+        unroll_layers: bool = False,
     ) -> ModelBundle:
         from ..ops.attention import default_attn_impl
 
@@ -128,6 +131,7 @@ class PythiaModelClass(LanguageModelClass[PythiaT]):
             attn_impl=default_attn_impl(use_custom_kernels),
             remat=activation_checkpointing,
             checkpoint_policy=checkpoint_policy,
+            unroll_layers=unroll_layers,
             dtype=compute_dtype,
         )
 

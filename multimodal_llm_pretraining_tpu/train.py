@@ -69,6 +69,11 @@ class TrainingPlan:
     # dtype. "bf16" halves the accumulator -- the knob that lets mamba-2.8b
     # (11.2 GB of f32 grads otherwise) fit on a 16 GB chip.
     grad_accum_dtype: Literal["bf16", "f32", None] = None
+    # Fully unroll the layer-stack scan: same stacked params, no XLA
+    # while-loop, so the backward's layer-grad accumulation aliases in place
+    # instead of holding a loop carry + output pair (2x the grad tree).
+    # Slower compiles; the lever that fits pythia-2.8b on one 16 GB chip.
+    unroll_layers: bool = False
 
     max_grad_norm: float = 1.0
     extra_args: dict[str, Any] = field(default_factory=dict)

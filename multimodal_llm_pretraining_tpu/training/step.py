@@ -56,13 +56,15 @@ class TrainSession:
         self.policy = plan.sharding_policy()
 
         build_kwargs: dict[str, Any] = {}
-        if getattr(plan, "checkpoint_policy", "flash") != "flash":
-            # only models that expose the knob accept it; "flash" is every
-            # build_model's default so omitting it is equivalent
-            import inspect
+        # optional build knobs: only models that expose them accept them, and
+        # each default matches the plan default so omitting is equivalent
+        import inspect
 
-            if "checkpoint_policy" in inspect.signature(model_class.build_model).parameters:
-                build_kwargs["checkpoint_policy"] = plan.checkpoint_policy
+        build_params = inspect.signature(model_class.build_model).parameters
+        if getattr(plan, "checkpoint_policy", "flash") != "flash" and "checkpoint_policy" in build_params:
+            build_kwargs["checkpoint_policy"] = plan.checkpoint_policy
+        if getattr(plan, "unroll_layers", False) and "unroll_layers" in build_params:
+            build_kwargs["unroll_layers"] = True
         self.bundle = model_class.build_model(
             use_custom_kernels=plan.use_custom_kernels,
             activation_checkpointing=plan.activation_checkpointing,

@@ -221,3 +221,17 @@ def test_bf16_grad_accum_dtype_knob():
         losses[dtype] = run_two_steps(sess)
     # bf16 accumulation rounds each microbatch add; trajectories agree loosely
     assert abs(losses["bf16"] - losses["f32"]) / abs(losses["f32"]) < 2e-2
+
+
+def test_unrolled_layer_stack_matches_scan():
+    """unroll_layers removes the XLA while-loop (so layer-grad accumulation
+    aliases in place -- the pythia-2.8b single-chip lever) but must be a pure
+    scheduling change: same params layout, same trajectory."""
+    mc = get_model_class("pythia-14m")
+    losses = {}
+    for unroll in (False, True):
+        plan = tiny_plan(mc, sharding="", unroll_layers=unroll)
+        sess = plan.build_session(mc)
+        sess.dataset.sequence_length = 33
+        losses[unroll] = run_two_steps(sess)
+    assert abs(losses[True] - losses[False]) <= 2e-4 * abs(losses[False])
