@@ -70,24 +70,49 @@ class StreamingOffloadUpdater:
 
     # ------------------------------------------------------------ state
 
+    def _chunk_ranges(self, shape):
+        """Row ranges splitting a leaf whose f32 state exceeds the group
+        budget (stacked-layer kernels are multi-GB single leaves -- a whole
+        [L, d_ff, d] tensor cannot round-trip HBM in one program on a chip
+        whose params already fill half of it). None = leaf stays whole."""
+        if not shape:
+            return None
+        nbytes = 4 * int(np.prod(shape))
+        if nbytes <= self.GROUP_BYTES:
+            return None
+        rows = int(shape[0])
+        row_bytes = max(nbytes // max(rows, 1), 1)
+        rows_per = max(1, self.GROUP_BYTES // row_bytes)
+        if rows_per >= rows:
+            return None
+        return [(s, min(s + rows_per, rows)) for s in range(0, rows, rows_per)]
+
     def init(self, params):
-        if self.trainable_mask is not None:
-            # frozen leaves carry 0-d placeholders: no moments allocated
-            zeros = jax.tree.map(
-                lambda p, m: jnp.zeros(p.shape if m else (), jnp.float32), params, self.trainable_mask
-            )
-        else:
-            zeros = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
-        state = {"count": jnp.zeros((), jnp.int32), "mu": zeros, "nu": jax.tree.map(jnp.copy, zeros)}
+        mask_tree = self.trainable_mask if self.trainable_mask is not None else jax.tree.map(lambda _: True, params)
+
+        def zeros_like_state(p, m):
+            if not m:
+                return jnp.zeros((), jnp.float32)  # frozen: 0-d placeholder
+            r = self._chunk_ranges(p.shape)
+            if r is None:
+                return jnp.zeros(p.shape, jnp.float32)
+            return tuple(jnp.zeros((b - a, *p.shape[1:]), jnp.float32) for a, b in r)
+
+        def master_like(p, m):
+            if not m:
+                return jnp.zeros((), jnp.float32)
+            r = self._chunk_ranges(p.shape)
+            if r is None:
+                return p.astype(jnp.float32)
+            return tuple(p[a:b].astype(jnp.float32) for a, b in r)
+
+        state = {
+            "count": jnp.zeros((), jnp.int32),
+            "mu": jax.tree.map(zeros_like_state, params, mask_tree),
+            "nu": jax.tree.map(zeros_like_state, params, mask_tree),
+        }
         if self.master_weights:
-            if self.trainable_mask is not None:
-                state["master"] = jax.tree.map(
-                    lambda p, m: p.astype(jnp.float32) if m else jnp.zeros((), jnp.float32),
-                    params,
-                    self.trainable_mask,
-                )
-            else:
-                state["master"] = jax.tree.map(lambda p: p.astype(jnp.float32), params)
+            state["master"] = jax.tree.map(master_like, params, mask_tree)
         return state
 
     # ------------------------------------------------------------ update
@@ -115,6 +140,19 @@ class StreamingOffloadUpdater:
     # group is ~3x this (m, v, master) plus the update's temps -- small
     # enough that two groups in flight stay far from the HBM ceiling.
     GROUP_BYTES = 384 * 2**20
+    # Dispatch throttle: with fully async dispatch every queued program's
+    # inputs/outputs can be live at once (a ~3 GB-params model OOMs at
+    # runtime even though each program fits). Sync on the newest host output
+    # after this many group/chunk programs are in flight.
+    MAX_INFLIGHT = 2
+
+    def _throttle(self, probe, dispatched):
+        if dispatched >= self.MAX_INFLIGHT and probe is not None:
+            from ..utils import block_on
+
+            block_on(probe)
+            return 0
+        return dispatched
 
     def _group_fn(self, sig, out_shardings, dev_twins):
         """jit of one leaf-group's update (cached per shape signature).
@@ -162,6 +200,155 @@ class StreamingOffloadUpdater:
             self._group_jits[sig] = jax.jit(fn, out_shardings=outs, donate_argnums=(2, 3, 4, 5, 6))
         return self._group_jits[sig]
 
+    def _leaf_groups(self, p_leaves, mask_leaves):
+        """Bounded groups of trainable leaf indices (f32 byte budget)."""
+        groups: list[list[int]] = []
+        size = self.GROUP_BYTES  # force a fresh group at the first leaf
+        for i, (p, tr) in enumerate(zip(p_leaves, mask_leaves)):
+            nbytes = 4 * int(np.prod(p.shape)) if p.shape else 4
+            if not tr:
+                continue
+            if size + nbytes > self.GROUP_BYTES and size > 0:
+                groups.append([])
+                size = 0
+            groups[-1].append(i)
+            size += nbytes
+        return groups
+
+    def init_grouped(self, params, *, opt_sharding):
+        """Build the host-resident optimizer state in bounded groups.
+
+        One whole-tree ``jit(init)`` materializes the full f32 state (3x
+        params) in HBM before the copy-out -- the exact failure the streamed
+        update avoids; and pure host-side ``device_put`` per leaf crawls
+        through the transfer path (~2 min for a 160m model on this tunnel).
+        Instead each group is a tiny device program (zeros + f32 cast of the
+        params) whose ``out_shardings`` write straight to pinned host.
+        Leaves over the budget are built one row-chunk program at a time,
+        mirroring the chunked layout ``init`` declares."""
+        p_leaves, treedef = jax.tree_util.tree_flatten(params)
+        mask_leaves = (
+            treedef.flatten_up_to(self.trainable_mask) if self.trainable_mask is not None else [True] * len(p_leaves)
+        )
+        mu_sh = treedef.flatten_up_to(opt_sharding["mu"])
+        ms_sh = treedef.flatten_up_to(opt_sharding["master"]) if self.master_weights else [None] * len(p_leaves)
+
+        def chunk_sh(sh_entry, c):
+            # chunk shardings: either the caller provided per-chunk entries,
+            # or the leaf's own sharding applies to each row chunk verbatim
+            # (same spec; only dim0's length differs)
+            return sh_entry[c] if isinstance(sh_entry, tuple) else sh_entry
+
+        # frozen leaves carry 0-d placeholders (np-built, tiny)
+        zero0 = jnp.zeros((), jnp.float32)
+        mu_out = [None if m else zero0 for m in mask_leaves]
+        nu_out = [None if m else zero0 for m in mask_leaves]
+        ms_out = [None if m else zero0 for m in mask_leaves]
+
+        plain = [i for i, (p, m) in enumerate(zip(p_leaves, mask_leaves)) if m and self._chunk_ranges(p.shape) is None]
+        chunked = [i for i, (p, m) in enumerate(zip(p_leaves, mask_leaves)) if m and self._chunk_ranges(p.shape)]
+        inflight = 0
+
+        def init_program(sig_key, shardings):
+            if sig_key not in self._group_jits:
+                leaves_ok = all(isinstance(s, jax.sharding.Sharding) for s in jax.tree.leaves(shardings))
+
+                def fn(ps):
+                    zeros = tuple(jnp.zeros(p.shape, jnp.float32) for p in ps)
+                    masters = tuple(p.astype(jnp.float32) for p in ps) if self.master_weights else ()
+                    return zeros, tuple(jnp.zeros(p.shape, jnp.float32) for p in ps), masters
+
+                self._group_jits[sig_key] = jax.jit(fn, out_shardings=shardings if leaves_ok else None)
+            return self._group_jits[sig_key]
+
+        for idxs in self._leaf_groups([p_leaves[i] for i in plain], [True] * len(plain)):
+            idxs = [plain[j] for j in idxs]
+            sig = ("init", tuple((p_leaves[i].shape, str(p_leaves[i].dtype)) for i in idxs),
+                   tuple(str(mu_sh[i]) for i in idxs), tuple(str(ms_sh[i]) for i in idxs))
+            outs_sh = (
+                tuple(mu_sh[i] for i in idxs),
+                tuple(mu_sh[i] for i in idxs),
+                tuple(ms_sh[i] for i in idxs) if self.master_weights else (),
+            )
+            mus, nus, mss = init_program(sig, outs_sh)(tuple(p_leaves[i] for i in idxs))
+            for j, i in enumerate(idxs):
+                mu_out[i], nu_out[i] = mus[j], nus[j]
+                if self.master_weights:
+                    ms_out[i] = mss[j]
+            inflight = self._throttle(nus[-1] if nus else None, inflight + 1)
+
+        for i in chunked:
+            p = p_leaves[i]
+            mu_cs, nu_cs, ms_cs = [], [], []
+            for c, (a, b) in enumerate(self._chunk_ranges(p.shape)):
+                sig = ("init-chunk", p.shape, str(p.dtype), a, b,
+                       str(chunk_sh(mu_sh[i], c)), str(chunk_sh(ms_sh[i], c)))
+                outs_sh = (
+                    (chunk_sh(mu_sh[i], c),),
+                    (chunk_sh(mu_sh[i], c),),
+                    (chunk_sh(ms_sh[i], c),) if self.master_weights else (),
+                )
+
+                mus, nus, mss = init_program(sig, outs_sh)((p[a:b],))
+                mu_cs.append(mus[0])
+                nu_cs.append(nus[0])
+                if self.master_weights:
+                    ms_cs.append(mss[0])
+                inflight = self._throttle(nus[0], inflight + 1)
+            mu_out[i], nu_out[i] = tuple(mu_cs), tuple(nu_cs)
+            if self.master_weights:
+                ms_out[i] = tuple(ms_cs)
+
+        state = {
+            "count": jnp.zeros((), jnp.int32),
+            "mu": jax.tree_util.tree_unflatten(treedef, mu_out),
+            "nu": jax.tree_util.tree_unflatten(treedef, nu_out),
+        }
+        if self.master_weights:
+            state["master"] = jax.tree_util.tree_unflatten(treedef, ms_out)
+        return state
+
+    def _chunk_fn(self, sig, out_shardings, twins, a, b):
+        """jit of one row-chunk's update for an over-budget leaf (cached).
+
+        The program takes the WHOLE device param and grad leaf (both already
+        resident -- no transfer) plus one host chunk of (mu, nu, master);
+        only the chunk's f32 state crosses the host link, and the param leaf
+        is donated so the row write-back aliases in place."""
+        if sig not in self._group_jits:
+            mu_tw, nu_tw, ms_tw = twins
+            leaves_ok = all(isinstance(s, jax.sharding.Sharding) for s in out_shardings)
+
+            def to_dev(x, t):
+                return jax.device_put(x, t) if t is not None else x
+
+            if self.master_weights:
+                def fn(clip_scale, count, p, g, mu, nu, ms):
+                    src = to_dev(ms, ms_tw)
+                    s2, mu2, nu2 = self._leaf_update_impl(
+                        src, jax.lax.slice_in_dim(g, a, b, axis=0),
+                        to_dev(mu, mu_tw), to_dev(nu, nu_tw), clip_scale, count, True,
+                    )
+                    new_p = jax.lax.dynamic_update_slice_in_dim(p, s2.astype(p.dtype), a, 0)
+                    return new_p, mu2, nu2, s2
+
+                donate = (2, 4, 5, 6)
+            else:
+                def fn(clip_scale, count, p, g, mu, nu):
+                    s2, mu2, nu2 = self._leaf_update_impl(
+                        jax.lax.slice_in_dim(p, a, b, axis=0), jax.lax.slice_in_dim(g, a, b, axis=0),
+                        to_dev(mu, mu_tw), to_dev(nu, nu_tw), clip_scale, count, True,
+                    )
+                    new_p = jax.lax.dynamic_update_slice_in_dim(p, s2.astype(p.dtype), a, 0)
+                    return new_p, mu2, nu2
+
+                donate = (2, 4, 5)
+
+            self._group_jits[sig] = jax.jit(
+                fn, out_shardings=out_shardings if leaves_ok else None, donate_argnums=donate
+            )
+        return self._group_jits[sig]
+
     def grouped(self, params, opt_state, grads, acc_steps: float, *, param_sharding, opt_sharding):
         """Streamed update over bounded leaf groups -- the production path.
 
@@ -206,22 +393,13 @@ class StreamingOffloadUpdater:
         new_nu = list(nu_leaves)
         new_ms = list(master_leaves)
 
-        # bounded groups of trainable leaf indices
-        groups: list[list[int]] = []
-        size = self.GROUP_BYTES  # force a fresh group at the first leaf
-        for i, (p, tr) in enumerate(zip(p_leaves, mask_leaves)):
-            nbytes = 4 * int(np.prod(p.shape)) if p.shape else 4
-            if not tr:
-                continue
-            if size + nbytes > self.GROUP_BYTES and size > 0:
-                groups.append([])
-                size = 0
-            groups[-1].append(i)
-            size += nbytes
-
         def twin(x):
             sh = getattr(x, "sharding", None)
             return _device_twin(sh, None) if _is_host(sh) else None
+
+        chunked = {i for i, (p, m) in enumerate(zip(p_leaves, mask_leaves)) if m and self._chunk_ranges(p.shape)}
+        groups = self._leaf_groups(p_leaves, [m and i not in chunked for i, m in enumerate(mask_leaves)])
+        inflight = 0
 
         for idxs in groups:
             sig = tuple((p_leaves[i].shape, str(p_leaves[i].dtype)) for i in idxs)
@@ -255,6 +433,45 @@ class StreamingOffloadUpdater:
                 new_nu[i] = nus2[j]
                 if self.master_weights:
                     new_ms[i] = mss2[j]
+            inflight = self._throttle(nus2[-1] if nus2 else None, inflight + 1)
+
+        # over-budget leaves: one program per row chunk, updating the device
+        # param in place (donated + dynamic_update_slice) and streaming only
+        # that chunk's f32 state through HBM
+        for i in sorted(chunked):
+            p_cur = p_leaves[i]
+            g = g_leaves[i]
+            mu_t, nu_t = mu_leaves[i], nu_leaves[i]
+            ms_t = master_leaves[i] if self.master_weights else None
+            mu_cs, nu_cs, ms_cs = [], [], []
+            for c, (a, b) in enumerate(self._chunk_ranges(p_cur.shape)):
+                twins = (
+                    twin(mu_t[c]),
+                    twin(nu_t[c]),
+                    twin(ms_t[c]) if self.master_weights else None,
+                )
+                def _csh(entry, c=c):
+                    return entry[c] if isinstance(entry, tuple) else entry
+
+                outs = (p_sh[i], _csh(mu_sh[i]), _csh(mu_sh[i])) + (
+                    (_csh(ms_sh[i]),) if self.master_weights else ()
+                )
+                sig = ("chunk", p_cur.shape, str(p_cur.dtype), a, b,
+                       tuple(str(s) for s in outs), tuple(str(t) for t in twins))
+                fn = self._chunk_fn(sig, outs, twins, a, b)
+                if self.master_weights:
+                    p_cur, mu2, nu2, ms2 = fn(clip_scale, count, p_cur, g, mu_t[c], nu_t[c], ms_t[c])
+                    ms_cs.append(ms2)
+                else:
+                    p_cur, mu2, nu2 = fn(clip_scale, count, p_cur, g, mu_t[c], nu_t[c])
+                mu_cs.append(mu2)
+                nu_cs.append(nu2)
+                inflight = self._throttle(nu2, inflight + 1)
+            new_p[i] = p_cur
+            new_mu[i] = tuple(mu_cs)
+            new_nu[i] = tuple(nu_cs)
+            if self.master_weights:
+                new_ms[i] = tuple(ms_cs)
 
         out_state = {
             "count": count + 1,
@@ -291,6 +508,36 @@ class StreamingOffloadUpdater:
 
         new_p, new_mu, new_nu, new_master = [], [], [], []
         for p, g, mu, nu, ms, tr in zip(p_leaves, g_leaves, mu_leaves, nu_leaves, master_leaves, mask_leaves):
+            if tr and isinstance(mu, tuple):
+                # over-budget leaf stored as row chunks: same math, chunk at
+                # a time (mirrors the grouped path's _chunk_fn)
+                def htwin(x):
+                    sh = getattr(x, "sharding", None)
+                    return _device_twin(sh, mesh) if _is_host(sh) else None
+
+                p_cur, mu_cs, nu_cs, ms_cs = p, [], [], []
+                for c, (a, b) in enumerate(self._chunk_ranges(p.shape)):
+                    twins = (htwin(mu[c]), htwin(nu[c]), htwin(ms[c]) if self.master_weights else None)
+                    outs = (
+                        getattr(p, "sharding", None),
+                        getattr(mu[c], "sharding", None),
+                        getattr(nu[c], "sharding", None),
+                    ) + ((getattr(ms[c], "sharding", None),) if self.master_weights else ())
+                    sig = ("chunk", p.shape, str(p.dtype), a, b,
+                           tuple(str(s) for s in outs), tuple(str(t) for t in twins))
+                    fn = self._chunk_fn(sig, outs, twins, a, b)
+                    if self.master_weights:
+                        p_cur, mu2, nu2, ms2 = fn(clip_scale, count, p_cur, g, mu[c], nu[c], ms[c])
+                        ms_cs.append(ms2)
+                    else:
+                        p_cur, mu2, nu2 = fn(clip_scale, count, p_cur, g, mu[c], nu[c])
+                    mu_cs.append(mu2)
+                    nu_cs.append(nu2)
+                new_p.append(p_cur)
+                new_mu.append(tuple(mu_cs))
+                new_nu.append(tuple(nu_cs))
+                new_master.append(tuple(ms_cs) if self.master_weights else ms)
+                continue
             mu_sh = getattr(mu, "sharding", None)
             mu_d = jax.device_put(mu, _device_twin(mu_sh, mesh)) if _is_host(mu_sh) else mu
             nu_d = jax.device_put(nu, _device_twin(mu_sh, mesh)) if _is_host(mu_sh) else nu

@@ -256,9 +256,26 @@ class TrainSession:
         else:
             init_fn = self.bundle.init_fn
         params = jax.jit(init_fn, out_shardings=self.param_sharding)(rng)
-        opt_state = jax.jit(self.tx.init, out_shardings=self.opt_sharding)(params)
+        if self.streaming_offload:
+            # One jitted whole-tree init would materialize the full f32 Adam
+            # state in HBM before the host copy-out (3x params -- the same
+            # reason the update streams). Build the host-resident state leaf
+            # by leaf on the host instead: zero moments and the f32 master
+            # never touch the device.
+            opt_state = self._init_opt_streamed(params)
+        else:
+            opt_state = jax.jit(self.tx.init, out_shardings=self.opt_sharding)(params)
         step = jnp.zeros((), jnp.int32)
         return TrainState(step=step, params=params, opt_state=opt_state)
+
+    def _init_opt_streamed(self, params):
+        from ..utils import block_on
+
+        # let the (async) param-init program fully retire first: its runtime
+        # peak plus the first queued state-init programs can transiently
+        # exceed HBM on a chip the final state barely fits
+        block_on(params)
+        return self.updater.init_grouped(params, opt_sharding=self.opt_sharding)
 
     def zero_grads(self):
         if "zeros" not in self._jitted:

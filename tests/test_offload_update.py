@@ -169,3 +169,76 @@ def test_session_offload_path_on_cpu_mesh():
         state, m = step(state, sess.make_train_batch(seed=i), jax.random.key(0))
     assert np.isfinite(float(m["loss"]))
     assert int(jax.tree.leaves(state.opt_state if not sess.streaming_offload else state.opt_state["count"])[0].sum() if not sess.streaming_offload else state.opt_state["count"]) == 2
+
+
+def test_init_grouped_matches_init():
+    """init_grouped (bounded device programs writing host state) must equal
+    the plain init tree: same structure, zeros moments, f32 master copies."""
+    from types import SimpleNamespace
+
+    kwargs = {"lr": 1e-2, "betas": (0.9, 0.95), "eps": 1e-8, "weight_decay": 0.0}
+    upd = StreamingOffloadUpdater(
+        "adam", dict(kwargs), SchedulerType.LINEAR, {"num_warmup_steps": 1},
+        num_training_steps=4, max_grad_norm=0.0, master_weights=True,
+        trainable_mask={"w": True, "b": False, "stack": True},
+    )
+    upd.GROUP_BYTES = 256
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), make_tree(3))
+    want = upd.init(params)
+    dummy = jax.tree.map(lambda _: SimpleNamespace(), params)
+    got = upd.init_grouped(params, opt_sharding={"mu": dummy, "nu": dummy, "master": dummy})
+    assert jax.tree_util.tree_structure(want) == jax.tree_util.tree_structure(got)
+    for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_chunked_leaves_match_unchunked():
+    """Leaves over GROUP_BYTES split into row-chunk host arrays (the
+    pythia-2.8b stacked-layer case); the chunked update must reproduce the
+    unchunked trajectory exactly, through both grouped() and __call__()."""
+    from types import SimpleNamespace
+
+    kwargs = {"lr": 1e-2, "betas": (0.9, 0.95), "eps": 1e-8, "weight_decay": 0.01}
+
+    def make(chunk_bytes):
+        upd = StreamingOffloadUpdater(
+            "adamw", dict(kwargs), SchedulerType.LINEAR, {"num_warmup_steps": 1},
+            num_training_steps=8, max_grad_norm=1.0, master_weights=True,
+        )
+        upd.GROUP_BYTES = chunk_bytes
+        return upd
+
+    params = {"big": jnp.arange(96, dtype=jnp.float32).reshape(12, 8) / 37.0, "small": jnp.ones((4,)) * 0.5}
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+
+    upd_ref = make(1 << 30)  # nothing chunks
+    upd_chunk = make(5 * 8 * 4)  # "big" splits into 5-row chunks (12 rows -> 3 chunks)
+    assert upd_chunk._chunk_ranges((12, 8)) == [(0, 5), (5, 10), (10, 12)]
+
+    p_ref, p_grp, p_call = params, jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy, params)
+    s_ref, s_grp, s_call = upd_ref.init(p_ref), upd_chunk.init(p_grp), upd_chunk.init(p_call)
+    assert isinstance(s_grp["mu"]["big"], tuple) and len(s_grp["mu"]["big"]) == 3
+
+    dummy = jax.tree.map(lambda _: SimpleNamespace(), p_ref)
+    dummy_chunk = jax.tree.map(lambda x: SimpleNamespace(), s_grp["mu"])
+    for i in range(3):
+        base = p_ref  # pre-update params: identical across the three paths
+
+        def mk_grads():
+            return jax.tree.map(lambda p: jnp.cos(p.astype(jnp.float32) * 3 + i), base)
+
+        p_ref, s_ref = upd_ref(p_ref, s_ref, mk_grads(), acc_steps=2.0)
+        # grouped() donates the grads buffers -- each consumer gets its own
+        p_grp, s_grp = upd_chunk.grouped(
+            p_grp, s_grp, mk_grads(), 2.0, param_sharding=dummy,
+            opt_sharding={"mu": dummy_chunk, "nu": dummy_chunk, "master": dummy_chunk},
+        )
+        p_call, s_call = upd_chunk(p_call, s_call, mk_grads(), acc_steps=2.0)
+
+    for name, p_other in [("grouped", p_grp), ("call", p_call)]:
+        for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_other)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+    # chunked state, concatenated, equals the unchunked moments
+    for key in ("mu", "nu", "master"):
+        cat = jnp.concatenate([np.asarray(c) for c in s_grp[key]["big"]], axis=0)
+        np.testing.assert_array_equal(np.asarray(s_ref[key]["big"]), np.asarray(cat))
