@@ -73,6 +73,7 @@ class MambaBlock(nn.Module):
 class MambaLM(nn.Module):
     use_custom_kernels: bool = True
     remat: bool = False
+    unroll_layers: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -81,7 +82,14 @@ class MambaLM(nn.Module):
 
         embed = self.param("embedding", nn.initializers.normal(0.02), (VOCAB, D_MODEL))
         x = jnp.take(embed, input_ids, axis=0).astype(self.dtype)
-        stack = make_stack(MambaBlock, N_LAYER, remat=self.remat, use_custom_kernels=self.use_custom_kernels, dtype=self.dtype)
+        stack = make_stack(
+            MambaBlock,
+            N_LAYER,
+            remat=self.remat,
+            unroll=self.unroll_layers,
+            use_custom_kernels=self.use_custom_kernels,
+            dtype=self.dtype,
+        )
         x, _ = stack(x, None)
         x = nn.RMSNorm(epsilon=LN_EPS, dtype=self.dtype, name="final_norm")(x)
         kernel = embed.T.astype(self.dtype)  # tied LM head (HF Mamba ties)
@@ -99,11 +107,20 @@ MAMBA_TP_RULES = [
 
 class MambaModelClass(LanguageModelClass[MambaT]):
     def build_model(
-        self, use_custom_kernels: bool = True, activation_checkpointing: bool = False, compute_dtype=None
+        self,
+        use_custom_kernels: bool = True,
+        activation_checkpointing: bool = False,
+        compute_dtype=None,
+        unroll_layers: bool = False,
     ) -> ModelBundle:
         if compute_dtype is None:
             compute_dtype = jnp.bfloat16 if self.mixed_precision else jnp.float32
-        module = MambaLM(use_custom_kernels=use_custom_kernels, remat=activation_checkpointing, dtype=compute_dtype)
+        module = MambaLM(
+            use_custom_kernels=use_custom_kernels,
+            remat=activation_checkpointing,
+            unroll_layers=unroll_layers,
+            dtype=compute_dtype,
+        )
 
         def init_fn(rng):
             return module.init(rng, jnp.zeros((1, 8), jnp.int32))["params"]
