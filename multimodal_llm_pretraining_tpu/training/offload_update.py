@@ -70,15 +70,22 @@ class StreamingOffloadUpdater:
 
     # ------------------------------------------------------------ state
 
+    # Leaves above this f32 size split into row chunks; leaves between
+    # GROUP_BYTES and this ride whole in their own single-leaf group (the
+    # long-proven path -- pythia-1b's 512 MB stacked kernels stay whole,
+    # pythia-2.8b's 0.8-3.4 GB ones chunk).
+    CHUNK_THRESHOLD = 576 * 2**20
+
     def _chunk_ranges(self, shape):
-        """Row ranges splitting a leaf whose f32 state exceeds the group
-        budget (stacked-layer kernels are multi-GB single leaves -- a whole
-        [L, d_ff, d] tensor cannot round-trip HBM in one program on a chip
-        whose params already fill half of it). None = leaf stays whole."""
+        """Row ranges splitting a leaf whose f32 state exceeds the chunk
+        threshold (stacked-layer kernels are multi-GB single leaves -- a
+        whole [L, d_ff, d] tensor cannot round-trip HBM in one program on a
+        chip whose params already fill half of it). None = leaf stays
+        whole."""
         if not shape:
             return None
         nbytes = 4 * int(np.prod(shape))
-        if nbytes <= self.GROUP_BYTES:
+        if nbytes <= max(self.GROUP_BYTES, self.CHUNK_THRESHOLD):
             return None
         rows = int(shape[0])
         row_bytes = max(nbytes // max(rows, 1), 1)

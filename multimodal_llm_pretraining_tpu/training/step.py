@@ -27,6 +27,7 @@ from typing import Any
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from ..parallel.mesh import DATA_AXES, build_mesh
@@ -256,17 +257,33 @@ class TrainSession:
         else:
             init_fn = self.bundle.init_fn
         params = jax.jit(init_fn, out_shardings=self.param_sharding)(rng)
-        if self.streaming_offload:
-            # One jitted whole-tree init would materialize the full f32 Adam
+        if self.streaming_offload and not self._whole_tree_init_fits():
+            # One jitted whole-tree init materializes the full f32 Adam
             # state in HBM before the host copy-out (3x params -- the same
-            # reason the update streams). Build the host-resident state leaf
-            # by leaf on the host instead: zero moments and the f32 master
-            # never touch the device.
+            # reason the update streams); past ~80% of HBM it cannot run.
+            # Stream the init in bounded groups instead.
             opt_state = self._init_opt_streamed(params)
         else:
             opt_state = jax.jit(self.tx.init, out_shardings=self.opt_sharding)(params)
         step = jnp.zeros((), jnp.int32)
         return TrainState(step=step, params=params, opt_state=opt_state)
+
+    def _whole_tree_init_fits(self) -> bool:
+        """True when device HBM can hold params + the full f32 Adam state at
+        once (the whole-tree init program's peak). pythia-1b fits (14 GB of
+        15.75); pythia-2.8b (39 GB) must stream."""
+        from ..tpus import detect_local_tpu, device_hbm_bytes
+
+        tpu = detect_local_tpu()
+        if tpu is None:
+            return True  # CPU tests: no HBM ceiling
+        f32_state = sum(
+            4 * int(np.prod(s.shape)) for s in jax.tree.leaves(self.param_shapes)
+        ) * (3 if self.master_offload else 2)
+        params_bytes = sum(
+            int(np.prod(s.shape)) * s.dtype.itemsize for s in jax.tree.leaves(self.param_shapes)
+        )
+        return f32_state + params_bytes < 0.85 * device_hbm_bytes(tpu)
 
     def _init_opt_streamed(self, params):
         from ..utils import block_on

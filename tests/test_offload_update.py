@@ -213,6 +213,7 @@ def test_chunked_leaves_match_unchunked():
 
     upd_ref = make(1 << 30)  # nothing chunks
     upd_chunk = make(5 * 8 * 4)  # "big" splits into 5-row chunks (12 rows -> 3 chunks)
+    upd_chunk.CHUNK_THRESHOLD = 0  # chunk at the group budget for the test
     assert upd_chunk._chunk_ranges((12, 8)) == [(0, 5), (5, 10), (10, 12)]
 
     p_ref, p_grp, p_call = params, jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy, params)
