@@ -18,7 +18,7 @@ from typing import Any
 import pandas as pd
 
 from ..utils import get_logger
-from .cache import StepCall, get_workspace
+from .cache import StepAlreadyRunning, StepCall, StepFailure, get_workspace
 from .slurm import SlurmJob
 
 logger = get_logger()
@@ -50,13 +50,22 @@ class Experiment(abc.ABC):
 
     # ------------------------------------------------------------ execution
 
-    def run(self) -> None:
+    def run(self, record_failures: bool = False) -> None:
         for dep in self.dependencies:
-            dep.run()
+            dep.run(record_failures=record_failures)
         ws = get_workspace()
         for name, call in self.step_dict.items():
             logger.info(f"[{type(self).__name__}] step '{name}'")
-            call.result(ws)
+            try:
+                call.result(ws, record_failure=record_failures)
+            except StepAlreadyRunning:
+                raise
+            except Exception as e:
+                if not record_failures:
+                    raise
+                # failure is cached; keep going so downstream steps cache
+                # their propagated failures and the arm reads fully "done"
+                logger.info(f"step '{name}' failed ({type(e).__name__}): {e}")
 
     def launch(self, slurm: bool = False) -> None:
         if slurm and self.slurm_job is not None:
@@ -143,24 +152,31 @@ class Sweep(abc.ABC):
         exps = self.experiments()
         if not slurm:
             for i, exp in enumerate(exps):
-                if exp.is_cached():
+                if exp.is_cached() or exp.is_running():
                     continue
                 logger.info(f"--- experiment {i + 1}/{len(exps)}: {exp.to_dict()}")
                 try:
-                    exp.run()
+                    # record_failures: a failed step caches a StepFailure so
+                    # results() shows "failed: <class>" (not "not yet run")
+                    # and re-sweeps don't re-run the arm (reference caches
+                    # None, training_time_empirical.py:93-130)
+                    exp.run(record_failures=True)
+                except StepAlreadyRunning as e:
+                    logger.info(f"experiment step already running elsewhere, skipping: {e}")
                 except Exception as e:
-                    logger.info(f"experiment failed: {e}")
+                    logger.info(f"experiment failed ({type(e).__name__}): {e}")
             return
-        # batch experiments sharing a SlurmJob spec into one submission each
+        # batch experiments sharing a SlurmJob spec into ONE submission each
+        # (submitit batch-context analog, reference base_classes.py:199-231)
         groups: dict[SlurmJob | None, list[Experiment]] = {}
         for exp in exps:
-            if exp.is_cached():
+            if exp.is_cached() or exp.is_running():
                 continue
             groups.setdefault(exp.slurm_job, []).append(exp)
         for job, group in groups.items():
             if job is None:
                 for exp in group:
-                    exp.run()
+                    exp.run(record_failures=True)
             else:
                 job.submit_batch(group)
 
@@ -170,7 +186,7 @@ class Sweep(abc.ABC):
         return done, len(exps)
 
     def incomplete(self) -> list[Experiment]:
-        return [e for e in self.experiments() if not e.is_cached()]
+        return [e for e in self.experiments() if not e.is_cached() and not e.is_running()]
 
     def results(self) -> pd.DataFrame:
         rows = []
@@ -179,7 +195,11 @@ class Sweep(abc.ABC):
             if exp.is_cached():
                 res = exp.results()
                 for k, v in res.items():
-                    row[k] = v if not isinstance(v, dict) else str(v)
+                    if isinstance(v, StepFailure):
+                        row[k] = None
+                        row["failure"] = f"{v.error_type}: {v.message}"
+                    else:
+                        row[k] = v if not isinstance(v, dict) else str(v)
                 flat = res.get("benchmarking_results")
                 if isinstance(flat, dict):
                     row.update(flat)

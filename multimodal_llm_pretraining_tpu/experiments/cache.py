@@ -29,6 +29,36 @@ from ..utils import get_logger
 logger = get_logger()
 
 
+@dataclass(frozen=True)
+class StepFailure:
+    """Cached record of a failed step run.
+
+    The reference records ``None`` for failed benchmarking arms so sweeps
+    distinguish "failed" from "not yet run"
+    (``/root/reference/experiments/training_time_empirical.py:93-130``); this
+    carries the failure class too, so ``Sweep.results()`` can say *why*."""
+
+    error_type: str
+    message: str
+
+    def __repr__(self) -> str:  # keep cache keys / tables readable
+        return f"StepFailure({self.error_type}: {self.message[:120]})"
+
+
+class StepAlreadyRunning(Exception):
+    """Another live process holds this step's running claim."""
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
 def stable_repr(value: Any) -> str:
     """Deterministic repr for hashing: dataclasses hash by their repr (the
     ``TangoStringHash`` trick, ``experiments/utils/__tango__.py:34-37``).
@@ -84,12 +114,43 @@ class Workspace:
     def mark_running(self, uid: str, flag: bool) -> None:
         p = self._path(uid) + ".running"
         if flag:
-            open(p, "w").close()
+            with open(p, "w") as f:
+                f.write(str(os.getpid()))
         elif os.path.exists(p):
             os.remove(p)
 
+    def _holder(self, uid: str) -> int | None:
+        try:
+            with open(self._path(uid) + ".running") as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def try_claim(self, uid: str) -> bool:
+        """Atomically claim ``uid`` for this process (submitit has job-level
+        exclusivity; a shared workspace needs step-level locking). Returns
+        False iff a *live* other process holds the claim; stale claims from
+        crashed holders are stolen."""
+        p = self._path(uid) + ".running"
+        for _ in range(16):
+            try:
+                fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return True
+            except FileExistsError:
+                pid = self._holder(uid)
+                if pid is not None and pid != os.getpid() and _pid_alive(pid):
+                    return False
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
+        return False
+
     def is_running(self, uid: str) -> bool:
-        return os.path.exists(self._path(uid) + ".running")
+        pid = self._holder(uid)
+        return pid is not None and _pid_alive(pid)
 
 
 class MemoryWorkspace(Workspace):
@@ -108,6 +169,12 @@ class MemoryWorkspace(Workspace):
 
     def mark_running(self, uid, flag):
         (self._running.add if flag else self._running.discard)(uid)
+
+    def try_claim(self, uid):
+        if uid in self._running:
+            return False
+        self._running.add(uid)
+        return True
 
     def is_running(self, uid):
         return uid in self._running
@@ -150,17 +217,30 @@ class StepCall:
         ws = workspace or get_workspace()
         return ws.is_running(self.unique_id())
 
-    def result(self, workspace: Workspace | None = None) -> Any:
+    def result(self, workspace: Workspace | None = None, record_failure: bool = False) -> Any:
         ws = workspace or get_workspace()
         uid = self.unique_id()
         if self.cacheable and ws.contains(uid):
             return ws.load(uid)
-        resolved_args = tuple(a.result(ws) if isinstance(a, StepCall) else a for a in self.args)
-        resolved_kwargs = {k: (v.result(ws) if isinstance(v, StepCall) else v) for k, v in self.kwargs.items()}
+        resolved_args = tuple(a.result(ws, record_failure) if isinstance(a, StepCall) else a for a in self.args)
+        resolved_kwargs = {k: (v.result(ws, record_failure) if isinstance(v, StepCall) else v) for k, v in self.kwargs.items()}
+        # a failed upstream step poisons this one: cache the propagation so
+        # the whole DAG converges to "cached failure", never half-run
+        upstream = [v for v in (*resolved_args, *resolved_kwargs.values()) if isinstance(v, StepFailure)]
+        if upstream:
+            failure = StepFailure("UpstreamStepFailure", f"{upstream[0].error_type}: {upstream[0].message}")
+            if self.cacheable:
+                ws.store(uid, failure)
+            return failure
+        if not ws.try_claim(uid):
+            raise StepAlreadyRunning(uid)
         logger.info(f"Running step {uid}")
-        ws.mark_running(uid, True)
         try:
             out = self.fn(*resolved_args, **resolved_kwargs)
+        except Exception as e:
+            if record_failure and self.cacheable:
+                ws.store(uid, StepFailure(type(e).__name__, str(e)))
+            raise
         finally:
             ws.mark_running(uid, False)
         if self.cacheable:

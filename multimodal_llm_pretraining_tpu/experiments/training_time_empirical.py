@@ -201,11 +201,16 @@ class TrainingTimeEmpirical(Experiment):
         )
 
     def results(self):
-        return {
+        br = self.step_result("benchmarking_results")
+        out = {
             "max_micro_batch_size": self.step_result("max_micro_batch_size"),
-            **(self.step_result("benchmarking_results") or {}),
             "training_days": self.step_result("training_days"),
         }
+        if isinstance(br, dict):
+            out.update(br)
+        elif br is not None:  # a StepFailure record; Sweep.results surfaces it
+            out["benchmarking_results"] = br
+        return out
 
 
 if __name__ == "__main__":
