@@ -8,6 +8,8 @@ Spec fields:
   op: "confirm"      -- setup + one accumulate step + one optimizer step at
                         micro_batch_size (the max-batch runtime confirmation)
       "time_phases"  -- measure (accumulate, optimizer) phase times
+      "time_fused"   -- time the production fused train step at
+                        ``accumulation_steps`` (needs accumulation_steps)
   config:            TrainingConfig fields (experiments.config)
   micro_batch_size:  probe size
   samples:           timing samples for time_phases (default 3)
@@ -38,6 +40,26 @@ def run(spec: dict) -> dict:
 
     maybe_init_distributed()
     config = TrainingConfig(**spec["config"])
+    mbs = int(spec["micro_batch_size"])
+
+    if spec["op"] == "time_fused":
+        from .step_time import measure_fused_step_time
+        from ..training.step import TrainSession
+
+        acc = int(spec["accumulation_steps"])
+        plan = config.training_plan(
+            num_training_steps=1,
+            micro_batch_size=mbs,
+            gradient_accumulation_steps=acc,
+            **spec.get("plan_overrides", {}),
+        )
+        plan.configure_compilation_cache()
+        session = TrainSession(plan, config.model_class())
+        for attr, value in spec.get("dataset_overrides", {}).items():
+            setattr(session.dataset, attr, value)
+        fused = measure_fused_step_time(session, acc, samples=int(spec.get("samples", 1)))
+        return {"ok": True, "micro_batch_size": mbs, "step_time_fused": fused}
+
     plan = config.training_plan(
         num_training_steps=1,
         micro_batch_size=1,
@@ -49,8 +71,6 @@ def run(spec: dict) -> dict:
     for attr, value in spec.get("dataset_overrides", {}).items():
         setattr(harness.session.dataset, attr, value)
     harness.setup()
-
-    mbs = int(spec["micro_batch_size"])
     if spec["op"] == "confirm":
         harness.manual_training_step(mbs, seed=0)
         harness.manual_optimization_step()

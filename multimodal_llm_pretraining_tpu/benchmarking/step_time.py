@@ -40,7 +40,10 @@ class PhaseTimes:
 
 def measure_phase_times(harness: BenchmarkHarness, micro_batch_size: int, samples: int = 3) -> PhaseTimes:
     """Time ``samples`` (accumulate, optimize) pairs after one untimed
-    warmup pair (which triggers compilation of both programs)."""
+    warmup pair (which triggers compilation of both programs).
+
+    Batch synthesis + host->device transfer happen BEFORE each timed call
+    (reference protocol: pre-fetched inputs, ``step_time.py:47-58``)."""
     assert samples >= 1
     harness.manual_training_step(micro_batch_size, seed=0)
     harness.manual_optimization_step()
@@ -48,7 +51,8 @@ def measure_phase_times(harness: BenchmarkHarness, micro_batch_size: int, sample
     acc_total = 0.0
     opt_total = 0.0
     for i in range(samples):
-        acc_total += timed(harness.manual_training_step, micro_batch_size, seed=i + 1)
+        prefetched = harness.prefetch_micro_batch(micro_batch_size, seed=i + 1)
+        acc_total += timed(harness.manual_training_step, micro_batch_size, prefetched=prefetched)
         opt_total += timed(harness.manual_optimization_step)
     times = PhaseTimes(acc_total / samples, opt_total / samples, samples)
     logger.info(
@@ -56,6 +60,49 @@ def measure_phase_times(harness: BenchmarkHarness, micro_batch_size: int, sample
         f"optimizer {times.optimizer_s:.4f}s (n={samples})"
     )
     return times
+
+
+def measure_fused_step_time(session, accumulation_steps: int, samples: int = 1) -> float:
+    """Time the PRODUCTION fused step (``TrainSession.train_step_fn``) at the
+    target accumulation count.
+
+    The split protocol above mirrors the reference's measurement; this mode
+    measures what training actually runs -- one XLA program in which the
+    latency-hiding scheduler overlaps collectives/offload transfers with
+    compute, which the acc x split-accumulate extrapolation cannot see
+    (round-2 verdict: the committed grids underestimated the production step
+    by ~18% and ranked remat policies backwards). ``session.plan`` must
+    already carry the target micro_batch_size / gradient_accumulation_steps.
+    """
+    from ..utils import block_on
+
+    assert session.plan.gradient_accumulation_steps == accumulation_steps
+    state = session.init_state()
+    fn = session.train_step_fn()
+    import jax
+
+    # warmup (compile) with its own batch, untimed
+    batch = session.make_train_batch(seed=0)
+    rng = jax.device_put(jax.random.key(0), session.repl_sharding)
+    block_on((batch, rng))
+    state, metrics = fn(state, batch, rng)
+    block_on((state.params, metrics))
+
+    total = 0.0
+    for i in range(samples):
+        batch = session.make_train_batch(seed=i + 1)
+        rng = jax.device_put(jax.random.key(i + 1), session.repl_sharding)
+        block_on((batch, rng))
+
+        def one_step():
+            nonlocal state
+            state, m = fn(state, batch, rng)
+            block_on((state.params, m))
+
+        total += timed(one_step)
+    fused = total / samples
+    logger.info(f"fused step @ acc={accumulation_steps}: {fused:.4f}s (n={samples})")
+    return fused
 
 
 def estimate_step_time(

@@ -140,15 +140,25 @@ class BenchmarkHarness:
 
     # ------------------------------------------------------------ stepping
 
-    def manual_training_step(self, micro_batch_size: int, seed: int = 0) -> None:
+    def prefetch_micro_batch(self, micro_batch_size: int, seed: int = 0):
+        """Synthesize + device_put one microbatch and its rng OUTSIDE any
+        timed region (the reference times with pre-fetched inputs,
+        ``src/benchmarking/step_time.py:47-58``); blocks until resident."""
+        batch = self.session.make_micro_batch(micro_batch_size, seed=seed)
+        rng = jax.device_put(jax.random.key(seed), self.session.repl_sharding)
+        block_on((batch, rng))
+        return batch, rng
+
+    def manual_training_step(self, micro_batch_size: int, seed: int = 0, prefetched=None) -> None:
         """One fwd+bwd microstep accumulated into the grad buffer
-        (``manual_training_step`` parity, ``src/benchmarking/utils.py:61-63``)."""
+        (``manual_training_step`` parity, ``src/benchmarking/utils.py:61-63``).
+
+        Pass ``prefetched=(batch, rng)`` from :meth:`prefetch_micro_batch`
+        when timing, so host synthesis + transfer stay untimed."""
         assert self.state is not None, "call setup() first"
         try:
-            batch = self.session.make_micro_batch(micro_batch_size, seed=seed)
-            block_on(batch)
+            batch, rng = prefetched if prefetched is not None else self.prefetch_micro_batch(micro_batch_size, seed)
             fn = self._compile_acc(micro_batch_size)
-            rng = jax.device_put(jax.random.key(seed), self.session.repl_sharding)
             self.grads, loss = fn(self.state.params, self.grads, batch, rng)
             block_on((self.grads, loss))
         except Exception as e:

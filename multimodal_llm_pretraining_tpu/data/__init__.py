@@ -1,6 +1,21 @@
 """Real multimodal data pipelines (LLaVA / ViLT / ScienceQA)."""
 
 
+def _require_real_tokenizer(collator, model_type: str):
+    """Real-data training must not silently run on the hash-tokenizer
+    stand-in: the ids would be garbage while every shape looks right."""
+    from .tokenization import SimpleTokenizer
+
+    if isinstance(getattr(collator, "tokenizer", None), SimpleTokenizer):
+        raise RuntimeError(
+            f"--dataset real for {model_type} requires the real tokenizer, but the offline "
+            "hash-tokenizer fallback is active. Save the tokenizer locally "
+            "(tokenizer.save_pretrained) and point MLPT_TOKENIZERS_DIR at its parent "
+            "directory; scripts/make_tokenizer_fixtures.py documents the layout."
+        )
+    return collator
+
+
 def get_real_dataset(model_type: str, data_dir: str | None):
     """Dataset + collator dispatch by model type (the reference's
     ``get_dataset``/``get_data_collator``, ``scripts/training.py:19-56``)."""
@@ -9,14 +24,14 @@ def get_real_dataset(model_type: str, data_dir: str | None):
 
         split = "pretrain" if model_type == "llava-pretrain" else "instruction_tuning"
         ds = LlavaDataset(split=split, data_dir=data_dir)
-        return ds, LlavaCollator(split=split)
+        return ds, _require_real_tokenizer(LlavaCollator(split=split), model_type)
     if model_type in ("vilt-pretrain", "vilt-finetune", "vilt-original-pretrain", "vilt-original-finetune"):
         from .vilt_data import LlavaDatasetforVilt, ViltCollator, ViltCollatorForOriginal
 
         collator_cls = ViltCollatorForOriginal if "original" in model_type else ViltCollator
         if model_type.endswith("-pretrain"):
             ds = LlavaDatasetforVilt(split="pretrain", data_dir=data_dir)
-            return ds, collator_cls(split="pretrain")
+            return ds, _require_real_tokenizer(collator_cls(split="pretrain"), model_type)
         ds = LlavaDatasetforVilt(split="instruction", data_dir=data_dir)
-        return ds, collator_cls(split="instruction")
+        return ds, _require_real_tokenizer(collator_cls(split="instruction"), model_type)
     raise ValueError(f"no real dataset registered for {model_type}; use --dataset dummy")

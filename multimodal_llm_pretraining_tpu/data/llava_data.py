@@ -47,6 +47,25 @@ END_HEADER_ID = 128007  # <|end_header_id|>
 SYSTEM_PREAMBLE = "Cutting Knowledge Date: December 2023\nToday Date: 26 Jul 2024\n\n"
 
 
+def render_chat_template(conversations, system_message: str | None = None) -> str:
+    """Byte-exact rendering of the Llama-3.2-Instruct chat template (the
+    reference's ``apply_chat_template`` path, ``:91-100``): bos, a system
+    block carrying the knowledge/date preamble, then
+    ``<|start_header_id|>{role}<|end_header_id|>\\n\\n{content|trim}<|eot_id|>``
+    per turn. Golden-tested against committed strings
+    (``tests/test_tokenizer_parity.py``); when a real tokenizer is present
+    the test additionally asserts equality with the tokenizer's own
+    ``apply_chat_template(..., tokenize=False)`` output."""
+    out = "<|begin_of_text|><|start_header_id|>system<|end_header_id|>\n\n"
+    out += SYSTEM_PREAMBLE
+    if system_message:
+        out += system_message.strip()
+    out += "<|eot_id|>"
+    for turn in conversations:
+        out += f"<|start_header_id|>{turn['role']}<|end_header_id|>\n\n{turn['content'].strip()}<|eot_id|>"
+    return out
+
+
 def process_conversations(conversations):
     """'from: gpt/human' -> chat roles (reference ``:15-23``)."""
     return [

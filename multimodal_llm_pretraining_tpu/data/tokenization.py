@@ -13,6 +13,7 @@ pad = <|reserved_special_token_0|> (128002), mask = ..._1| (128003),
 sep = ..._2| (128004), image = <image> (128256).
 """
 
+import os
 import re
 
 import numpy as np
@@ -80,17 +81,26 @@ class SimpleTokenizer:
 
 
 def load_tokenizer(name_or_path: str | None = None, vocab_size: int = 128256):
-    """HF tokenizer when available locally (offline cache / path), else the
-    simple fallback."""
-    if name_or_path:
-        try:
-            from transformers import AutoTokenizer
+    """HF tokenizer when available locally, else the simple fallback.
 
-            tok = AutoTokenizer.from_pretrained(name_or_path, local_files_only=True)
-            tok.pad_token_id = PAD_TOKEN_ID
-            return tok
-        except Exception:
-            pass
+    Lookup order: ``$MLPT_TOKENIZERS_DIR/<basename>`` (a directory of
+    ``tokenizer.save_pretrained`` dumps, keyed by the hub name's last path
+    component), then the hub name against the local HF cache."""
+    if name_or_path:
+        candidates = []
+        root = os.environ.get("MLPT_TOKENIZERS_DIR")
+        if root:
+            candidates.append(os.path.join(root, name_or_path.split("/")[-1]))
+        candidates.append(name_or_path)
+        for cand in candidates:
+            try:
+                from transformers import AutoTokenizer
+
+                tok = AutoTokenizer.from_pretrained(cand, local_files_only=True)
+                tok.pad_token_id = PAD_TOKEN_ID
+                return tok
+            except Exception:
+                continue
     return SimpleTokenizer(vocab_size=vocab_size)
 
 

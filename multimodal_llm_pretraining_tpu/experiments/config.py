@@ -73,6 +73,17 @@ class TrainingConfig(BaseConfig):
     sharding: ShardingT = ""
     offloading: bool = False
     tensor_parallel: int = 1  # TPU value-add: GSPMD model axis (reference has no TP)
+    # Search dimensions the headline recipe needs (round-2 verdict #2): these
+    # change feasibility (grad_accum_dtype=bf16 is the only way a 2.8b model's
+    # accumulators fit next to bf16 params on 16 GB) and rank (matmul
+    # precision ladder). "" = plan default; cache_omit_default keeps old arms.
+    grad_accum_dtype: Literal["", "bf16", "f32"] = dataclasses.field(
+        default="", metadata={"cache_omit_default": True}
+    )
+    unroll_layers: bool = dataclasses.field(default=False, metadata={"cache_omit_default": True})
+    matmul_precision: Literal["", "default", "high", "highest"] = dataclasses.field(
+        default="", metadata={"cache_omit_default": True}
+    )
 
     def training_plan(self, **overrides) -> TrainingPlan:
         model_class = self.model_class()
@@ -85,6 +96,8 @@ class TrainingConfig(BaseConfig):
             matmul_precision = "highest"
             compile = False
             use_custom_kernels = False
+        if self.matmul_precision:
+            matmul_precision = self.matmul_precision
 
         plan = TrainingPlan(
             num_training_steps=model_class.training_steps,
@@ -103,6 +116,8 @@ class TrainingConfig(BaseConfig):
             scheduler_kwargs=model_class.scheduler_kwargs,
             sharding=self.sharding,
             offloading=self.offloading,
+            grad_accum_dtype=self.grad_accum_dtype or None,
+            unroll_layers=self.unroll_layers,
             max_grad_norm=model_class.max_grad_norm,
             extra_args=model_class.extra_training_args,
             mesh=MeshConfig(

@@ -41,7 +41,9 @@ logger = get_logger()
 
 class BenchmarkingResults(TypedDict):
     micro_batch_size: int
-    step_time: float
+    step_time: float  # authoritative: fused when measurable, else split
+    step_time_split: float  # acc_time x acc_steps + optim_time (ref protocol)
+    step_time_fused: float | None  # production train_step_fn() at target acc
     compile_disabled: bool
 
 
@@ -67,7 +69,7 @@ def find_largest_batch_size(config: TrainingConfig, limit: int) -> int:
     return distribute(func=search, workers_per_host=config.chips_per_host)
 
 
-@step(cacheable=True, version="004")
+@step(cacheable=True, version="005")
 def benchmark_step_time(
     config: TrainingConfig,
     max_micro_batch_size: int,
@@ -108,10 +110,31 @@ def benchmark_step_time(
             raise RuntimeError("kernel lowering failed and no fallback remains")
         if result.get("ok"):
             accumulation_steps = target_micro_batch_size // micro_batch_size
-            step_time = result["accumulate_s"] * accumulation_steps + result["optimizer_s"]
+            split_time = result["accumulate_s"] * accumulation_steps + result["optimizer_s"]
+            # Fused mode: time the production step at the target accumulation
+            # in its own worker. The split extrapolation cannot see the
+            # overlap XLA's scheduler finds inside one program (round-2
+            # verdict: grids underestimated the production step by ~18%).
+            fused_time = None
+            fused = _run_worker(
+                {
+                    "op": "time_fused",
+                    "config": asdict(config),
+                    "micro_batch_size": micro_batch_size,
+                    "accumulation_steps": accumulation_steps,
+                    "samples": 1,
+                    "plan_overrides": plan_overrides,
+                }
+            )
+            if fused.get("ok"):
+                fused_time = fused.get("step_time_fused")
+            else:
+                logger.info(f"fused-step timing unavailable ({fused}); keeping split protocol")
             return BenchmarkingResults(
                 micro_batch_size=micro_batch_size,
-                step_time=step_time,
+                step_time=fused_time if fused_time is not None else split_time,
+                step_time_split=split_time,
+                step_time_fused=fused_time,
                 compile_disabled=bool(plan_overrides),
             )
         raise RuntimeError(f"timing worker returned {result!r}")

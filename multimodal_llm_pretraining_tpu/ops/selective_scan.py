@@ -66,8 +66,8 @@ def selective_scan(
     """y[b,l,i] = sum_n C[b,l,n] * h[b,l,i,n] + D[i]*u[b,l,i] where
     h_t = exp(delta_t A) h_{t-1} + delta_t B_t u_t."""
     if use_custom_kernels and jax.default_backend() == "tpu" and u.shape[1] > chunk_size:
-        # fused Pallas fast path (discretization never hits HBM); backward
-        # falls back to the chunked XLA implementation's VJP
+        # fused Pallas fast path: fwd AND bwd kernels (discretization never
+        # hits HBM; see selective_scan_pallas.py:325-352 for the custom VJP)
         from .selective_scan_pallas import selective_scan_fused
 
         return selective_scan_fused(u, delta, A, B, C, D).astype(u.dtype)

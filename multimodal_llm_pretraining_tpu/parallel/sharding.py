@@ -122,15 +122,26 @@ def fsdp_partition_spec(shape: tuple[int, ...], data_axis_size: int, tp_spec: tu
 
 def named_sharding(mesh: Mesh, spec: P, offload: bool = False) -> NamedSharding:
     if offload and host_offload_supported():
+        if fake_host_offload():
+            # CI mode: "host" state stays in device memory (the CPU backend
+            # cannot execute annotate_device_placement), but every streaming
+            # code path -- grouping, chunking, init streaming, throttle,
+            # real-Sharding out_shardings -- runs exactly as on the chip
+            return NamedSharding(mesh, spec)
         return NamedSharding(mesh, spec, memory_kind="pinned_host")
     return NamedSharding(mesh, spec)
 
 
+def fake_host_offload() -> bool:
+    """MLPT_FAKE_HOST_OFFLOAD=1 exercises the offload orchestration off-TPU
+    (tests/test_offload_cpu_exec.py); never set it on a real chip."""
+    import os
+
+    return os.environ.get("MLPT_FAKE_HOST_OFFLOAD") == "1" and jax.default_backend() != "tpu"
+
+
 @functools.cache
-def host_offload_supported() -> bool:
-    """Whether this backend exposes a usable pinned_host memory space.
-    Restricted to TPU: the CPU backend advertises the memory kind but its
-    SPMD partitioner rejects mixed-memory programs."""
+def _host_memory_probe() -> bool:
     if jax.default_backend() != "tpu":
         return False
     try:
@@ -139,6 +150,15 @@ def host_offload_supported() -> bool:
         return True
     except Exception:
         return False
+
+
+def host_offload_supported() -> bool:
+    """Whether this backend exposes a usable pinned_host memory space.
+    Restricted to TPU: the CPU backend advertises the memory kind but cannot
+    execute programs with host-memory out_shardings (annotate_device_placement
+    is unimplemented on Host, and the SPMD partitioner rejects replicated
+    side-effecting placement ops)."""
+    return fake_host_offload() or _host_memory_probe()
 
 
 def _leaf_spec(leaf, mode: ShardModeT, mesh: Mesh, tp_spec: tuple | None) -> P:

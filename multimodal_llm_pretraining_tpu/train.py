@@ -69,6 +69,10 @@ class TrainingPlan:
     # dtype. "bf16" halves the accumulator -- the knob that lets mamba-2.8b
     # (11.2 GB of f32 grads otherwise) fit on a 16 GB chip.
     grad_accum_dtype: Literal["bf16", "f32", None] = None
+    # Optimizer-moment dtype. None = f32 (optax default). "bf16" halves
+    # mu+nu HBM (math still f32 per step; see optimizer.scale_by_adam_lowp)
+    # -- the on-device alternative to host-offloading the moments.
+    opt_state_dtype: Literal["bf16", "f32", None] = None
     # Fully unroll the layer-stack scan: same stacked params, no XLA
     # while-loop, so the backward's layer-grad accumulation aliases in place
     # instead of holding a loop carry + output pair (2x the grad tree).

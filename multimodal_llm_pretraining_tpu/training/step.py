@@ -99,6 +99,7 @@ class TrainSession:
             self.tx = type("TxFacade", (), {"init": staticmethod(self.updater.init)})()
         else:
             self.updater = None
+            osd = getattr(plan, "opt_state_dtype", None)
             self.tx = build_optimizer(
                 plan.optimizer,
                 opt_kwargs,
@@ -107,6 +108,7 @@ class TrainSession:
                 num_training_steps=plan.num_training_steps,
                 max_grad_norm=plan.max_grad_norm,
                 trainable_mask=self.bundle.trainable_mask,
+                opt_state_dtype=jnp.bfloat16 if osd == "bf16" else None,
             )
 
         # Shardings from abstract shapes (no allocation).
@@ -272,8 +274,11 @@ class TrainSession:
         """True when device HBM can hold params + the full f32 Adam state at
         once (the whole-tree init program's peak). pythia-1b fits (14 GB of
         15.75); pythia-2.8b (39 GB) must stream."""
+        from ..parallel.sharding import fake_host_offload
         from ..tpus import detect_local_tpu, device_hbm_bytes
 
+        if fake_host_offload():
+            return False  # CI: force the streamed init path so it executes
         tpu = detect_local_tpu()
         if tpu is None:
             return True  # CPU tests: no HBM ceiling

@@ -10,44 +10,106 @@ Two modes:
 
 The analytic estimate at 100% of datasheet peak is a lower bound; dividing
 it by each arm's empirical days gives that arm's *implied MFU* -- the
-useful per-method signal. For the <=10% projection check, per-model
-calibrated MFUs (one number per model size, measured once on this chip and
-recorded below) turn the analytic bound into a projection:
+useful per-method signal.
 
-    projected_days = analytic_days_at_peak / calibrated_mfu
+For the <=10% projection check the MFU is PREDICTED, not read back off the
+grid under test (round-2 verdict #4: a recorded best-arm MFU made the check
+circular). The prediction decomposes into independent factors:
 
-``--write-json`` records the full comparison (implied MFUs, calibration,
-agreement) as a committed artifact; ``tests/test_plotting.py`` asserts the
-agreement bound against the committed grids.
+    predicted_mfu = ceiling_fraction           # measured matmul microbench,
+                                               #   artifacts/matmul_ceiling_<tpu>.json
+                  / ( f_dense                  # closed-form FLOPs fractions
+                    + f_attn * (128 / min(D, 128))   # MXU depth penalty at head_dim D
+                    + beta * (4096 / hidden) ) # bandwidth-bound overhead ~ 1/H
+                  * kappa0                     # residual overhead
+
+``(kappa0, beta)`` are fitted on CALIBRATION grids (small models) and the
+target model is predicted OUT OF SAMPLE: its grid is only touched for the
+final agreement comparison (``tests/test_plotting.py``). On the round-2
+grids, fitting on {160m, 410m} predicted pythia-1b within ~5%.
+
+The reference's analogous knob is one global ``assumed_mfu``
+(``/root/reference/experiments/training_time_analytic.py:24-47``).
 """
 
 import argparse
 import json
+import os
 import sys
 
 sys.path.insert(0, ".")
 
 import pandas as pd
 
-from multimodal_llm_pretraining_tpu.benchmarking.flops import analytic_flops_per_example
+from multimodal_llm_pretraining_tpu.benchmarking.flops import analytic_flops_per_example, transformer_flops_per_token
 from multimodal_llm_pretraining_tpu.models import get_model_class
 from multimodal_llm_pretraining_tpu.tpus import peak_tflops
 
-# Best-arm MFU measured on one v5e chip (round-1 method search, see
-# artifacts/*_v5e_search.csv). MFU grows with matmul size: pythia-1b's
-# hidden 2048 / head_dim 128 fill the 128x128 MXU; 160m's hidden 768 /
-# head_dim 64 cannot.
-CALIBRATED_MFU = {
-    "v5e": {
-        "pythia-160m": 0.25,
-        "pythia-410m": 0.29,
-        # round-1 calibration was 0.37; the round-2 grouped host update cut
-        # the optimizer phase and lifted the best split-protocol arm to
-        # 0.41 (round-2 measurement agreed with the 0.37 projection to
-        # 9.8%, inside the <=10% north star, before recalibration)
-        "pythia-1b": 0.41,
-    }
-}
+ARTIFACTS = os.path.join(os.path.dirname(__file__), "..", "artifacts")
+MXU_DEPTH = 128  # v5e/v5p systolic array contraction depth
+H_REF = 4096  # reference hidden for the 1/H overhead term (scale only)
+
+
+# --------------------------------------------------------- shape model
+
+
+def _dims(model: str) -> tuple[int, int, int, int, int]:
+    """(layers, hidden, head_dim, seq, vocab) for the shape model."""
+    mc = get_model_class(model)
+    if model.startswith("pythia"):
+        from multimodal_llm_pretraining_tpu.models.pythia import PYTHIA_SIZES
+
+        L, H, heads = PYTHIA_SIZES[model]
+        return L, H, H // heads, mc.sequence_length, mc.vocab_size
+    if model == "roberta":
+        return 24, 1024, 64, mc.sequence_length, mc.vocab_size
+    if model == "vit":
+        return 24, 1024, 64, 197, 21841
+    raise ValueError(f"no shape model for {model}")
+
+
+def flops_fractions(model: str) -> tuple[float, float, int, int]:
+    """(f_dense, f_attn, head_dim, hidden): fraction of matmul FLOPs in the
+    dense projections/head vs the attention score+value matmuls. Fractions
+    are identical fwd and bwd, so the fwd closed form suffices."""
+    L, H, D, S, V = _dims(model)
+    total = transformer_flops_per_token(L, H, S, vocab=V, backward=False)
+    attn = L * 4.0 * S * H
+    return (total - attn) / total, attn / total, D, H
+
+
+def ceiling_fraction(tpu_type: str) -> float:
+    """Sustained/datasheet matmul ratio from the committed microbenchmark
+    (scripts/measure_matmul_ceiling.py -- matmuls only, no model data)."""
+    with open(os.path.join(ARTIFACTS, f"matmul_ceiling_{tpu_type}.json")) as f:
+        return float(json.load(f)["ceiling_fraction"])
+
+
+def _inflation(model: str, beta: float) -> float:
+    f_dense, f_attn, D, H = flops_fractions(model)
+    return f_dense + f_attn * (MXU_DEPTH / min(D, MXU_DEPTH)) + beta * (H_REF / H)
+
+
+def fit_overhead(calibration: dict[str, float], tpu_type: str) -> tuple[float, float]:
+    """Fit (kappa0, beta) from {model: measured_best_arm_mfu} by least
+    squares on kappa0 = mfu/ceil * inflation(beta), scanning beta."""
+    ceil = ceiling_fraction(tpu_type)
+    best = None
+    for i in range(0, 2001):
+        beta = i / 1000.0
+        k0s = [mfu / ceil * _inflation(m, beta) for m, mfu in calibration.items()]
+        mean = sum(k0s) / len(k0s)
+        resid = sum((k - mean) ** 2 for k in k0s)
+        if best is None or resid < best[0]:
+            best = (resid, beta, mean)
+    return best[2], best[1]
+
+
+def predict_mfu(model: str, tpu_type: str, kappa0: float, beta: float) -> float:
+    return ceiling_fraction(tpu_type) * kappa0 / _inflation(model, beta)
+
+
+# ------------------------------------------------------- grid handling
 
 
 def analytic_days_at_peak(model: str, tpu_type: str, num_chips: int = 1) -> float:
@@ -56,8 +118,40 @@ def analytic_days_at_peak(model: str, tpu_type: str, num_chips: int = 1) -> floa
     return total_flops / (num_chips * peak_tflops(tpu_type, "bf16") * 1e12 * 86400)
 
 
-def compare(model: str, tpu_type: str, df: pd.DataFrame, num_chips: int = 1) -> dict:
-    """Per-arm implied MFU + best-arm agreement vs the calibrated projection."""
+def grid_best_mfu(model: str, tpu_type: str, df: pd.DataFrame, num_chips: int = 1) -> float:
+    df = df[df["training_days"].notna()]
+    return analytic_days_at_peak(model, tpu_type, num_chips) / float(df["training_days"].min())
+
+
+def load_grid(model: str, tpu_type: str) -> pd.DataFrame:
+    return pd.read_csv(os.path.join(ARTIFACTS, f"{model}_{tpu_type}_search.csv"))
+
+
+def predict_from_grids(
+    target: str, tpu_type: str, calibration_models: list[str], num_chips: int = 1
+) -> dict:
+    """Fit the overhead on the calibration grids, predict the target model.
+    The target's own grid is NOT read here."""
+    calibration = {m: grid_best_mfu(m, tpu_type, load_grid(m, tpu_type), num_chips) for m in calibration_models}
+    kappa0, beta = fit_overhead(calibration, tpu_type)
+    mfu = predict_mfu(target, tpu_type, kappa0, beta)
+    bound = analytic_days_at_peak(target, tpu_type, num_chips)
+    return {
+        "target": target,
+        "tpu_type": tpu_type,
+        "calibration": calibration,
+        "kappa0": kappa0,
+        "beta": beta,
+        "ceiling_fraction": ceiling_fraction(tpu_type),
+        "predicted_mfu": mfu,
+        "analytic_days_at_peak": bound,
+        "predicted_days": bound / mfu,
+    }
+
+
+def compare(model: str, tpu_type: str, df: pd.DataFrame, num_chips: int = 1, prediction: dict | None = None) -> dict:
+    """Per-arm implied MFU; if ``prediction`` (from predict_from_grids) is
+    given, agreement of the out-of-sample projection with the best arm."""
     df = df[df["training_days"].notna()].sort_values("training_days")
     bound = analytic_days_at_peak(model, tpu_type, num_chips)
     arms = [
@@ -77,12 +171,10 @@ def compare(model: str, tpu_type: str, df: pd.DataFrame, num_chips: int = 1) -> 
         "arms": arms,
         "best": best,
     }
-    mfu = CALIBRATED_MFU.get(tpu_type, {}).get(model)
-    if mfu is not None:
-        projected = bound / mfu
-        out["calibrated_mfu"] = mfu
-        out["projected_days"] = projected
-        out["agreement_pct"] = abs(projected - best["training_days"]) / best["training_days"] * 100
+    if prediction is not None:
+        out["prediction"] = prediction
+        out["projected_days"] = prediction["predicted_days"]
+        out["agreement_pct"] = abs(prediction["predicted_days"] - best["training_days"]) / best["training_days"] * 100
     return out
 
 
@@ -104,18 +196,33 @@ def main():
     p.add_argument("--tpu-type", default="v5e")
     p.add_argument("--model", default="pythia-160m")
     p.add_argument("--from-csv", default=None, help="committed search grid CSV instead of the live workspace")
+    p.add_argument(
+        "--calibrate-on",
+        default="pythia-160m,pythia-410m",
+        help="comma-separated models whose grids fit the overhead (must exclude --model for a true out-of-sample check)",
+    )
     p.add_argument("--write-json", default=None, help="write the comparison artifact here")
     a = p.parse_args()
 
-    result = compare(a.model, a.tpu_type, load_df(a), num_chips=a.num_hosts * a.chips_per_host)
+    calib = [m for m in a.calibrate_on.split(",") if m and m != a.model]
+    prediction = None
+    try:
+        prediction = predict_from_grids(a.model, a.tpu_type, calib, num_chips=a.num_hosts * a.chips_per_host)
+    except (FileNotFoundError, ValueError) as e:
+        print(f"(no out-of-sample prediction: {e})")
+
+    result = compare(a.model, a.tpu_type, load_df(a), num_chips=a.num_hosts * a.chips_per_host, prediction=prediction)
     print(f"analytic lower bound (100% of datasheet peak): {result['analytic_days_at_peak']:.2f} days\n")
     for arm in result["arms"]:
         print(f"  {arm['method']:<45} {arm['training_days']:8.1f} d   implied MFU {arm['implied_mfu'] * 100:5.1f}%")
     best = result["best"]
     print(f"\nbest method '{best['method']}': {best['training_days']:.2f} days, implied MFU {best['implied_mfu'] * 100:.1f}%")
     if "agreement_pct" in result:
+        pr = result["prediction"]
         print(
-            f"calibrated projection @ MFU {result['calibrated_mfu']:.2f}: {result['projected_days']:.2f} days "
+            f"out-of-sample projection (calibrated on {', '.join(calib)}; kappa0={pr['kappa0']:.3f}, "
+            f"beta={pr['beta']:.3f}, ceiling {pr['ceiling_fraction']:.1%}): predicted MFU "
+            f"{pr['predicted_mfu'] * 100:.1f}% -> {result['projected_days']:.2f} days "
             f"-> agreement {result['agreement_pct']:.1f}% (north star: <=10%)"
         )
     if a.write_json:

@@ -54,6 +54,7 @@ def test_failure_classification():
     assert classify_worker_failure("SyntaxError: invalid syntax") is None
 
 
+@pytest.mark.slow
 def test_probe_worker_end_to_end():
     """The real worker subprocess: builds the plan from JSON, runs one
     confirm step on the (inherited virtual CPU) mesh, reports ok."""
@@ -70,6 +71,25 @@ def test_probe_worker_end_to_end():
     assert result.get("ok") is True
 
 
+@pytest.mark.slow
+def test_probe_worker_time_fused_end_to_end():
+    """The real worker subprocess times the production fused step."""
+    cfg = TrainingConfig(num_hosts=1, chips_per_host=8, tpu_type="v5e", model="pythia-14m")
+    result = run_probe_worker(
+        {
+            "op": "time_fused",
+            "config": cfg.__dict__,
+            "micro_batch_size": 1,
+            "accumulation_steps": 2,
+            "samples": 1,
+            "dataset_overrides": {"sequence_length": 17},
+        },
+        timeout=420,
+    )
+    assert result.get("ok") is True
+    assert result["step_time_fused"] > 0
+
+
 _timing_fn = benchmark_step_time.__wrapped_step__
 
 
@@ -83,6 +103,9 @@ def test_step_time_halves_when_worker_ooms():
     calls = []
 
     def fake_worker(spec):
+        if spec["op"] == "time_fused":
+            assert spec["accumulation_steps"] == 4
+            return {"ok": True, "step_time_fused": 1.7}
         calls.append(spec["micro_batch_size"])
         if spec["micro_batch_size"] > 2:
             return {"oom": True}
@@ -92,9 +115,23 @@ def test_step_time_halves_when_worker_ooms():
                      num_benchmarking_steps=3, _run_worker=fake_worker)
     assert res["micro_batch_size"] == 2
     assert calls == [8, 4, 2]
-    # extrapolation: acc * (8 // 2) + optim
-    assert np.isclose(res["step_time"], 0.5 * 4 + 0.1)
+    # split extrapolation: acc * (8 // 2) + optim; fused is authoritative
+    assert np.isclose(res["step_time_split"], 0.5 * 4 + 0.1)
+    assert np.isclose(res["step_time_fused"], 1.7)
+    assert np.isclose(res["step_time"], 1.7)
     assert res["compile_disabled"] is False
+
+
+def test_step_time_keeps_split_when_fused_unmeasurable():
+    def fake_worker(spec):
+        if spec["op"] == "time_fused":
+            return {"oom": True}  # fused program needs slightly more HBM
+        return {"ok": True, "accumulate_s": 0.5, "optimizer_s": 0.1, "micro_batch_size": spec["micro_batch_size"]}
+
+    res = _timing_fn(_cfg(), max_micro_batch_size=2, target_micro_batch_size=8,
+                     num_benchmarking_steps=1, _run_worker=fake_worker)
+    assert res["step_time_fused"] is None
+    assert np.isclose(res["step_time"], 0.5 * 4 + 0.1)
 
 
 def test_step_time_falls_back_on_lowering_failure():
@@ -103,6 +140,8 @@ def test_step_time_falls_back_on_lowering_failure():
     seen_overrides = []
 
     def fake_worker(spec):
+        if spec["op"] == "time_fused":
+            return {"ok": True, "step_time_fused": 1.1}
         seen_overrides.append(dict(spec["plan_overrides"]))
         if not spec["plan_overrides"]:
             return {"lowering_failure": True}

@@ -66,23 +66,30 @@ def test_speedups(fake_results, capsys):
     assert "speedup: 1.10x" in out
 
 
-def test_analytic_vs_empirical_agreement_on_committed_grids():
-    """North-star check (BASELINE.md): the analytic projection with the
-    recorded per-model calibrated MFU agrees with the measured best arm
-    within 10%, for every committed v5e search grid that has a calibration."""
+def test_analytic_prediction_out_of_sample():
+    """North-star check (BASELINE.md), de-circularized (round-2 verdict #4):
+    for each committed Pythia grid, the analytic projection is built WITHOUT
+    reading that grid -- the overhead parameters are fitted leave-one-out on
+    the other two models' grids plus the independent matmul-ceiling
+    microbenchmark -- and must still agree with the measured best arm
+    within 10%."""
     import os
 
     import pandas as pd
 
-    from scripts.analytic_vs_empirical import CALIBRATED_MFU, compare
+    from scripts.analytic_vs_empirical import compare, predict_from_grids
 
+    models = ["pythia-160m", "pythia-410m", "pythia-1b"]
     root = os.path.join(os.path.dirname(__file__), "..", "artifacts")
     checked = 0
-    for model in CALIBRATED_MFU["v5e"]:
+    for model in models:
         path = os.path.join(root, f"{model}_v5e_search.csv")
         if not os.path.exists(path):
             continue
-        result = compare(model, "v5e", pd.read_csv(path))
+        calib = [m for m in models if m != model]
+        # the target's grid is only opened AFTER the prediction is fixed
+        prediction = predict_from_grids(model, "v5e", calib)
+        result = compare(model, "v5e", pd.read_csv(path), prediction=prediction)
         assert result["agreement_pct"] <= 10.0, (model, result["agreement_pct"])
         # and the committed JSON artifact matches the recomputation
         jpath = os.path.join(root, f"analytic_vs_empirical_{model}_v5e.json")

@@ -235,3 +235,24 @@ def test_unrolled_layer_stack_matches_scan():
         sess.dataset.sequence_length = 33
         losses[unroll] = run_two_steps(sess)
     assert abs(losses[True] - losses[False]) <= 2e-4 * abs(losses[False])
+
+
+def test_bf16_opt_state_dtype_knob():
+    """opt_state_dtype="bf16" halves the stored moments; trajectory stays
+    close to the f32 path (math is f32 per step, storage rounds once)."""
+    mc = get_model_class("pythia-14m")
+    sess = tiny_plan(mc, sharding="zero_2", opt_state_dtype="bf16").build_session(mc)
+    sess.dataset.sequence_length = 33
+    state = sess.init_state()
+    import jax.numpy as jnp
+
+    moments = [
+        x
+        for name in ("mu", "nu")
+        for x in jax.tree.leaves(getattr(jax.tree.leaves(state.opt_state, is_leaf=lambda s: hasattr(s, "mu"))[0], name))
+        if hasattr(x, "dtype") and x.ndim > 0
+    ]
+    assert moments and all(m.dtype == jnp.bfloat16 for m in moments)
+    loss_lowp = run_two_steps(sess)
+    assert np.isfinite(loss_lowp)
+    assert abs(loss_lowp - _baseline_loss()) < 0.05  # bf16 moment rounding only
