@@ -263,9 +263,13 @@ def _flash_bwd_rule(causal, sm_scale, block_q, block_k, res, g):
     kv_seq = k.shape[1]
     # The dk/dv kernel keeps the whole (padded) q and do resident in VMEM on
     # top of its score/probability tiles; at large head dims that sum crosses
-    # the 16 MB scoped-VMEM limit, so its inner q block shrinks instead
-    # (halving keeps it a divisor of the block_q-aligned padding).
-    block_q_dkv = block_q // 2 if (head_dim > 128 and block_q >= 256) else block_q
+    # the 16 MB scoped-VMEM limit, so its inner q block AND its k block both
+    # shrink (halving keeps them divisors of the block-aligned padding; at
+    # head_dim 256 -- pythia-1b's 8-head layout -- the k/v tiles, f32
+    # accumulators, and score tiles otherwise overflow by ~0.5 MB).
+    big_head = head_dim > 128
+    block_q_dkv = block_q // 2 if (big_head and block_q >= 256) else block_q
+    block_k_dkv = block_k // 2 if (big_head and block_k >= 256) else block_k
 
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # [BH, Sq]
 
@@ -293,18 +297,18 @@ def _flash_bwd_rule(causal, sm_scale, block_q, block_k, res, g):
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q_dkv, q_seq=q_seq, kv_seq=kv_seq),
-        grid=(bh, kv_pad // block_k),
+        grid=(bh, kv_pad // block_k_dkv),
         in_specs=[
             pl.BlockSpec((1, q_pad, head_dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, head_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, head_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k_dkv, head_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k_dkv, head_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, q_pad, head_dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, q_pad, LANES), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, q_pad, LANES), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_k, head_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, head_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k_dkv, head_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k_dkv, head_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, kv_pad, head_dim), k.dtype),

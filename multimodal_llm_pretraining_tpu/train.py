@@ -70,9 +70,21 @@ class TrainingPlan:
     # (11.2 GB of f32 grads otherwise) fit on a 16 GB chip.
     grad_accum_dtype: Literal["bf16", "f32", None] = None
     # Optimizer-moment dtype. None = f32 (optax default). "bf16" halves
-    # mu+nu HBM (math still f32 per step; see optimizer.scale_by_adam_lowp)
+    # mu+nu HBM (math still f32 per step; see optimizer.fused_adam_lowp)
     # -- the on-device alternative to host-offloading the moments.
     opt_state_dtype: Literal["bf16", "f32", None] = None
+    # Store the live model copy in the compute dtype (bf16) so the backward
+    # emits native-bf16 grads (an f32 param tree costs a params-sized f32
+    # grad allocation per microbatch):
+    #   True / "device": f32 master rides in opt_state ON DEVICE. With
+    #     opt_state_dtype="bf16" the entire optimizer state fits next to
+    #     pythia-1b on one 16 GB chip -- no host offload round-trip.
+    #   "sr": NO master at all -- the update applies to the bf16 params with
+    #     unbiased stochastic rounding (optimizer.stochastic_round_to),
+    #     freeing another params-worth of f32 (4 GB at 1b). Zero-mean
+    #     rounding noise; trajectory tracks the f32-master path in
+    #     expectation (tests/test_train_step.py).
+    master_weights: bool | Literal["device", "sr"] = False
     # Fully unroll the layer-stack scan: same stacked params, no XLA
     # while-loop, so the backward's layer-grad accumulation aliases in place
     # instead of holding a loop carry + output pair (2x the grad tree).

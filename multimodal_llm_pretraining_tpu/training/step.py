@@ -110,19 +110,35 @@ class TrainSession:
                 trainable_mask=self.bundle.trainable_mask,
                 opt_state_dtype=jnp.bfloat16 if osd == "bf16" else None,
             )
+        # On-device master-weights layout (plan.master_weights): the live
+        # model copy is bf16 so the scan-transpose emits NATIVE bf16 grads
+        # (an f32 param tree makes every microbatch materialize a 4 GB f32
+        # grad tree at pythia-1b scale -- the allocation that pushed the
+        # all-on-device step past HBM); the f32 master rides in opt_state
+        # ON DEVICE. Combined with bf16 stored moments this keeps the whole
+        # optimizer resident -- no host round-trip at all. "sr" drops the
+        # master entirely and applies updates with stochastic rounding.
+        mw = getattr(plan, "master_weights", False)
+        self.sr_params = mw == "sr" and plan.compute_dtype == jnp.bfloat16 and not self.streaming_offload
+        self.master_device = (
+            bool(mw) and not self.sr_params
+            and plan.compute_dtype == jnp.bfloat16
+            and not self.streaming_offload
+        )
 
         # Shardings from abstract shapes (no allocation).
         rng = jax.random.key(0)
         self.repl_sharding = named_sharding(self.mesh, P())
         param_shapes_f32 = jax.eval_shape(self.bundle.init_fn, rng)
-        if self.master_offload:
-            # the live model copy is bf16; the f32 master rides in opt_state
+        if self.master_offload or self.master_device or self.sr_params:
+            # the live model copy is bf16; the f32 master (if any) rides in
+            # opt_state
             param_shapes = jax.tree.map(
                 lambda s: jax.ShapeDtypeStruct(s.shape, plan.compute_dtype), param_shapes_f32
             )
         else:
             param_shapes = param_shapes_f32
-        opt_shapes = jax.eval_shape(self.tx.init, param_shapes)
+        opt_shapes = jax.eval_shape(self.opt_init, param_shapes)
         tp = self.bundle.tp_rules
         self.param_sharding = tree_shardings(
             param_shapes, self.mesh, self.policy.params, offload=self.policy.offload_params, tp_rules=tp
@@ -250,10 +266,18 @@ class TrainSession:
 
     # ----------------------------------------------------------- state
 
+    def opt_init(self, params):
+        """Optimizer-state init; under the on-device master-weights layout
+        the f32 master is part of the state."""
+        if self.master_device:
+            master = jax.tree.map(lambda p: p.astype(jnp.float32), params)
+            return {"master": master, "inner": self.tx.init(master)}
+        return self.tx.init(params)
+
     def init_state(self, seed: int = 0) -> TrainState:
         rng = jax.random.key(seed)
-        if self.master_offload:
-            # live model copy is bf16; tx.init upcasts it into the f32 master
+        if self.master_offload or self.master_device or self.sr_params:
+            # live model copy is bf16; opt_init upcasts it into the f32 master
             def init_fn(r):
                 return jax.tree.map(lambda p: p.astype(self.plan.compute_dtype), self.bundle.init_fn(r))
         else:
@@ -266,7 +290,7 @@ class TrainSession:
             # Stream the init in bounded groups instead.
             opt_state = self._init_opt_streamed(params)
         else:
-            opt_state = jax.jit(self.tx.init, out_shardings=self.opt_sharding)(params)
+            opt_state = jax.jit(self.opt_init, out_shardings=self.opt_sharding)(params)
         step = jnp.zeros((), jnp.int32)
         return TrainState(step=step, params=params, opt_state=opt_state)
 
@@ -375,12 +399,49 @@ class TrainSession:
         grads = jax.tree.map(lambda a, x: (a + x).astype(a.dtype), grads, g)
         return grads, loss
 
+    @staticmethod
+    def _opt_count(opt_state):
+        """The Adam step counter buried in an (optionally masked) optax
+        chain state; 0 if absent."""
+        import optax
+
+        for s in jax.tree_util.tree_leaves(opt_state, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState)):
+            if isinstance(s, optax.ScaleByAdamState):
+                return s.count
+        return jnp.zeros((), jnp.int32)
+
     def _optimizer_update(self, params, opt_state, grads, acc_steps):
         import optax
 
         params_c = self._fetch_params(params)
         opt_state = self._fetch_opt(opt_state)
         grads = jax.tree.map(lambda g: g / acc_steps, grads)
+        if self.master_device:
+            # update math against the f32 master; the live bf16 copy is
+            # re-derived by rounding the new master once (exact master
+            # semantics, no delta round-trip through bf16)
+            delta, inner = self.tx.update(grads, opt_state["inner"], opt_state["master"])
+            new_master = jax.tree.map(jnp.add, opt_state["master"], delta)
+            params = jax.tree.map(lambda m, p: m.astype(p.dtype), new_master, params_c)
+            return params, {"master": new_master, "inner": inner}
+        if self.sr_params:
+            # masterless bf16 params: unbiased stochastic rounding of p + d
+            # (zero-mean noise accumulates tiny deltas in expectation; a
+            # frozen leaf's zero delta rounds exactly). Key is derived from
+            # the post-update Adam count, so every step rounds differently.
+            from .optimizer import stochastic_round_to
+
+            delta, new_opt = self.tx.update(grads, opt_state, params_c)
+            base = jax.random.fold_in(jax.random.key(17), self._opt_count(new_opt))
+            leaves, treedef = jax.tree_util.tree_flatten(params_c)
+            deltas = treedef.flatten_up_to(delta)
+            new_leaves = [
+                stochastic_round_to(p.astype(jnp.float32) + d, p.dtype, jax.random.fold_in(base, i))
+                if p.dtype == jnp.bfloat16
+                else p + d
+                for i, (p, d) in enumerate(zip(leaves, deltas))
+            ]
+            return jax.tree_util.tree_unflatten(treedef, new_leaves), new_opt
         updates, opt_state = self.tx.update(grads, opt_state, params_c)
         params = optax.apply_updates(params_c, updates)
         # out_shardings (host memory kinds) move offloaded state back

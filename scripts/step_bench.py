@@ -33,6 +33,14 @@ def main():
     ap.add_argument("--ckpt-policy", default="flash", choices=["flash", "dots"])
     ap.add_argument("--grad-accum", default=None, choices=["bf16", "f32"])
     ap.add_argument("--opt-state", default=None, choices=["bf16", "f32"], help="stored Adam moment dtype")
+    ap.add_argument(
+        "--master-weights",
+        nargs="?",
+        const="device",
+        default=False,
+        choices=["device", "sr"],
+        help="bf16 live params; 'device' = on-device f32 master, 'sr' = masterless stochastic rounding",
+    )
     ap.add_argument("--unroll-layers", action="store_true")
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--grads-only", action="store_true")
@@ -57,6 +65,7 @@ def main():
         offloading=args.offloading,
         grad_accum_dtype=args.grad_accum,
         opt_state_dtype=args.opt_state,
+        master_weights=args.master_weights,
         unroll_layers=args.unroll_layers,
         max_grad_norm=mc.max_grad_norm,
         mesh=MeshConfig(num_hosts=1, chips_per_host=1),

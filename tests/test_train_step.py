@@ -237,6 +237,88 @@ def test_unrolled_layer_stack_matches_scan():
     assert abs(losses[True] - losses[False]) <= 2e-4 * abs(losses[False])
 
 
+def test_master_weights_device_layout():
+    """master_weights=True: live params bf16, f32 master in opt_state on
+    device; trajectory tracks the f32 baseline to bf16-compute tolerance."""
+    import jax.numpy as jnp
+
+    mc = get_model_class("pythia-14m")
+    sess = tiny_plan(mc, bf16=True, master_weights=True, opt_state_dtype="bf16", grad_accum_dtype="bf16").build_session(mc)
+    sess.dataset.sequence_length = 33
+    assert sess.master_device
+    state = sess.init_state()
+    assert jax.tree.leaves(state.params)[0].dtype == jnp.bfloat16
+    masters = [x for x in jax.tree.leaves(state.opt_state["master"]) if x.ndim > 0]
+    assert masters and all(m.dtype == jnp.float32 for m in masters)
+    step = sess.train_step_fn()
+    for i in range(2):
+        state, metrics = step(state, sess.make_train_batch(seed=i), jax.random.key(i))
+    # params must equal the rounded master after every step
+    for p, m in zip(jax.tree.leaves(state.params), jax.tree.leaves(state.opt_state["master"])):
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(m.astype(jnp.bfloat16)))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_sr_params_masterless_layout():
+    """master_weights="sr": no master anywhere in the state; params update
+    by stochastic rounding, trajectory stays near the f32 path over two
+    steps, and the rounding is deterministic given the step count."""
+    import jax.numpy as jnp
+
+    mc = get_model_class("pythia-14m")
+
+    def build():
+        sess = tiny_plan(mc, bf16=True, master_weights="sr", opt_state_dtype="bf16", grad_accum_dtype="bf16").build_session(mc)
+        sess.dataset.sequence_length = 33
+        return sess
+
+    sess = build()
+    assert sess.sr_params and not sess.master_device
+    state = sess.init_state()
+    assert "master" not in jax.tree_util.tree_structure(state.opt_state).__str__()
+    step = sess.train_step_fn()
+    for i in range(2):
+        state, metrics = step(state, sess.make_train_batch(seed=i), jax.random.key(i))
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss)
+    # bf16-compute + SR noise on a 2-step toy trajectory stays near f32
+    assert abs(loss - _baseline_loss()) < 0.08
+    # determinism: the SR key derives from the Adam count, not host state
+    sess2 = build()
+    state2 = sess2.init_state()
+    step2 = sess2.train_step_fn()
+    for i in range(2):
+        state2, metrics2 = step2(state2, sess2.make_train_batch(seed=i), jax.random.key(i))
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(state.params)[0]), np.asarray(jax.tree.leaves(state2.params)[0])
+    )
+
+
+def test_stochastic_round_unbiased_and_exact():
+    """The SR primitive: exact on representable values, unbiased in the
+    mean on a half-ulp value."""
+    import jax.numpy as jnp
+
+    from multimodal_llm_pretraining_tpu.training.optimizer import stochastic_round_to
+
+    key = jax.random.key(0)
+    exact = jnp.asarray([1.0, -2.5, 0.0, 3.140625], jnp.float32)  # bf16-representable
+    np.testing.assert_array_equal(
+        np.asarray(stochastic_round_to(exact, jnp.bfloat16, key)), np.asarray(exact.astype(jnp.bfloat16))
+    )
+    # 1 + 2^-8 sits exactly halfway between bf16 neighbors 1.0 and 1 + 2^-7
+    half = jnp.full((4096,), 1.0 + 2.0**-8, jnp.float32)
+    rounded = stochastic_round_to(half, jnp.bfloat16, key).astype(jnp.float32)
+    up = float(jnp.mean((rounded > 1.0).astype(jnp.float32)))
+    assert 0.4 < up < 0.6, up
+    mean = float(jnp.mean(rounded))
+    assert abs(mean - (1.0 + 2.0**-8)) < 4e-4, mean
+    # quarter-ulp: 1 + 2^-9 must round up with probability ~1/4
+    quarter = jnp.full((4096,), 1.0 + 2.0**-9, jnp.float32)
+    upq = float(jnp.mean((stochastic_round_to(quarter, jnp.bfloat16, key) > 1.0).astype(jnp.float32)))
+    assert 0.17 < upq < 0.33, upq
+
+
 def test_bf16_opt_state_dtype_knob():
     """opt_state_dtype="bf16" halves the stored moments; trajectory stays
     close to the f32 path (math is f32 per step, storage rounds once)."""
