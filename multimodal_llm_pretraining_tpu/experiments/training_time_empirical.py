@@ -187,6 +187,16 @@ class TrainingTimeEmpirical(Experiment):
                 "3++" in self.config.sharding and self.config.num_hosts <= 1,
                 # tensor parallel must divide the chips
                 self.config.num_chips % self.config.tensor_parallel != 0,
+                # bf16 state layouts need bf16 compute and Pallas kernels
+                # (free lunch), and are the ALTERNATIVE to the host-offloaded
+                # optimizer (master_weights is a no-op under streaming
+                # offload -- the combination would duplicate the offload arm)
+                self.config.state_layout != ""
+                and (
+                    self.model_cls.mixed_precision != "bf16"
+                    or not self.config.free_lunch
+                    or self.config.offloading
+                ),
             ]
         ):
             return False

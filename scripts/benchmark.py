@@ -56,6 +56,7 @@ def run_benchmark(
     checkpoint_policy = ["flash"]
     sharding = [""]
     offloading = [False]
+    state_layout = [""]
 
     if methods == "free-lunch":
         free_lunch = [True]
@@ -68,6 +69,9 @@ def run_benchmark(
         checkpoint_policy = ["flash", "dots"]
         sharding = ["", "zero_1", "zero_2", "zero_3", "fsdp_shard_grad_op", "fsdp_full_shard"]
         offloading = [False, True]
+        # bf16 state layouts (on-device alternative to the offloaded
+        # optimizer; validity rule restricts them to unoffloaded bf16 arms)
+        state_layout = ["", "bf16_master", "bf16_sr"]
 
     sweep = TrainingTimeEmpiricalSweep(
         search_space=dict(
@@ -81,6 +85,7 @@ def run_benchmark(
             sharding=sharding,
             offloading=offloading,
             tensor_parallel=[tensor_parallel],
+            state_layout=state_layout,
         )
     )
     Sweep.run(experiment_sweep=sweep, cmd=cmd, slurm=slurm)

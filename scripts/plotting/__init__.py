@@ -24,6 +24,9 @@ def method_label(row) -> str:
         parts.append(str(row["sharding"]))
     if row.get("offloading"):
         parts.append("offload")
+    layout = row.get("state_layout")
+    if layout and not (isinstance(layout, float) and pd.isna(layout)):
+        parts.append(str(layout))
     return "+".join(parts) if parts else "naive"
 
 
@@ -42,6 +45,7 @@ def load_results(num_hosts: int, chips_per_host: int, tpu_type: str, model: str)
             checkpoint_policy=["flash", "dots"],
             sharding=["", "zero_1", "zero_2", "zero_3", "fsdp_shard_grad_op", "fsdp_full_shard"],
             offloading=[False, True],
+            state_layout=["", "bf16_master", "bf16_sr"],
         )
     )
     df = sweep.results()

@@ -39,6 +39,11 @@ def plan_to_arguments_dict(config: TrainingConfig, micro_batch_size: int, gradie
         "scheduler_kwargs": plan.scheduler_kwargs,
         "sharding": plan.sharding,
         "offloading": plan.offloading,
+        "checkpoint_policy": plan.checkpoint_policy,
+        "grad_accum_dtype": plan.grad_accum_dtype,
+        "opt_state_dtype": plan.opt_state_dtype,
+        "master_weights": plan.master_weights,
+        "unroll_layers": plan.unroll_layers,
         "max_grad_norm": plan.max_grad_norm,
     }
 
@@ -53,6 +58,9 @@ def main():
     p.add_argument("--activation-checkpointing", action="store_true")
     p.add_argument("--sharding", default="")
     p.add_argument("--offloading", action="store_true")
+    p.add_argument("--checkpoint-policy", default="flash", choices=["flash", "dots"])
+    p.add_argument("--state-layout", default="", choices=["", "bf16_master", "bf16_sr"])
+    p.add_argument("--unroll-layers", action="store_true")
     p.add_argument("--tensor-parallel", type=int, default=1)
     p.add_argument("--micro-batch-size", type=int, required=True)
     p.add_argument("--gradient-accumulation-steps", type=int, required=True)
@@ -67,6 +75,9 @@ def main():
         activation_checkpointing=a.activation_checkpointing,
         sharding=a.sharding,
         offloading=a.offloading,
+        checkpoint_policy=a.checkpoint_policy,
+        state_layout=a.state_layout,
+        unroll_layers=a.unroll_layers,
         tensor_parallel=a.tensor_parallel,
     )
     args = plan_to_arguments_dict(config, a.micro_batch_size, a.gradient_accumulation_steps)

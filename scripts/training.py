@@ -45,6 +45,11 @@ def plan_from_arguments(args: dict) -> TrainingPlan:
         scheduler_kwargs=args.get("scheduler_kwargs", {}),
         sharding=args.get("sharding", ""),
         offloading=args.get("offloading", False),
+        checkpoint_policy=args.get("checkpoint_policy", "flash"),
+        grad_accum_dtype=args.get("grad_accum_dtype"),
+        opt_state_dtype=args.get("opt_state_dtype"),
+        master_weights=args.get("master_weights", False),
+        unroll_layers=args.get("unroll_layers", False),
         max_grad_norm=args.get("max_grad_norm", 0.0),
         mesh=MeshConfig(
             num_hosts=args.get("num_hosts", 1),
