@@ -21,14 +21,29 @@ import json
 import os
 import subprocess
 import sys
+import time
 
-from ..utils import get_logger
+from ..utils import InfrastructureError, get_logger
 
 logger = get_logger()
 
 RESULT_PREFIX = "MLPT_RESULT:"
 
 _LOWERING_MARKERS = ("Mosaic", "mosaic", "Pallas", "pallas", "lowering", "Unimplemented primitive")
+
+# Transient backend faults (the axon tunnel occasionally drops a dispatch
+# with UNAVAILABLE mid-sweep). These say nothing about the arm under test,
+# so the worker is retried and -- if the fault persists -- an
+# InfrastructureError propagates instead of a cacheable arm failure.
+_INFRA_MARKERS = (
+    "UNAVAILABLE:",
+    "TPU device error",
+    "DEADLINE_EXCEEDED",
+    "Socket closed",
+    "failed to connect",
+    "Connection reset",
+    "coordination service",
+)
 
 
 def _worker_env(env_overrides: dict | None = None) -> dict:
@@ -63,35 +78,59 @@ def classify_worker_failure(output: str) -> dict | None:
         return {"oom": True}
     if any(m in output for m in _LOWERING_MARKERS):
         return {"lowering_failure": True}
+    if any(m in output for m in _INFRA_MARKERS):
+        return {"infra": True}
     return None
 
 
-def run_probe_worker(spec: dict, timeout: float = 3600.0, env_overrides: dict | None = None) -> dict:
+def run_probe_worker(
+    spec: dict,
+    timeout: float = 3600.0,
+    env_overrides: dict | None = None,
+    infra_retries: int = 2,
+) -> dict:
     """Run one probe op in a disposable worker process.
 
     Returns the worker's result dict on success, ``{"oom": True}`` /
-    ``{"lowering_failure": True}`` when the worker died recognizably, and
-    raises RuntimeError on unclassifiable failures.
+    ``{"lowering_failure": True}`` when the worker died recognizably, retries
+    up to ``infra_retries`` times on transient backend faults (then raises
+    ``InfrastructureError``), and raises RuntimeError on unclassifiable
+    failures.
     """
-    proc = subprocess.run(
-        [sys.executable, "-m", "multimodal_llm_pretraining_tpu.benchmarking.probe_worker"],
-        input=json.dumps(spec),
-        capture_output=True,
-        text=True,
-        timeout=timeout,
-        env=_worker_env(env_overrides),
-        cwd=os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    )
-    for line in reversed(proc.stdout.splitlines()):
-        if line.startswith(RESULT_PREFIX):
-            result = json.loads(line[len(RESULT_PREFIX):])
-            if proc.returncode == 0:
-                return result
-    failure = classify_worker_failure(proc.stdout + proc.stderr)
-    if failure is not None:
-        logger.info(f"probe worker ({spec.get('op')}) died: {failure} (rc={proc.returncode})")
-        return failure
-    raise RuntimeError(
-        f"probe worker failed unrecognizably (rc={proc.returncode}):\n"
-        f"stdout tail: {proc.stdout[-2000:]}\nstderr tail: {proc.stderr[-2000:]}"
+    last_infra = ""
+    for attempt in range(infra_retries + 1):
+        proc = subprocess.run(
+            [sys.executable, "-m", "multimodal_llm_pretraining_tpu.benchmarking.probe_worker"],
+            input=json.dumps(spec),
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            env=_worker_env(env_overrides),
+            cwd=os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        )
+        for line in reversed(proc.stdout.splitlines()):
+            if line.startswith(RESULT_PREFIX):
+                result = json.loads(line[len(RESULT_PREFIX):])
+                if proc.returncode == 0:
+                    return result
+        failure = classify_worker_failure(proc.stdout + proc.stderr)
+        if failure == {"infra": True}:
+            last_infra = (proc.stdout + proc.stderr)[-2000:]
+            if attempt < infra_retries:
+                logger.info(
+                    f"probe worker ({spec.get('op')}) hit a transient backend fault "
+                    f"(rc={proc.returncode}); retry {attempt + 1}/{infra_retries}"
+                )
+                time.sleep(10.0 * (attempt + 1))
+            continue
+        if failure is not None:
+            logger.info(f"probe worker ({spec.get('op')}) died: {failure} (rc={proc.returncode})")
+            return failure
+        raise RuntimeError(
+            f"probe worker failed unrecognizably (rc={proc.returncode}):\n"
+            f"stdout tail: {proc.stdout[-2000:]}\nstderr tail: {proc.stderr[-2000:]}"
+        )
+    raise InfrastructureError(
+        f"probe worker ({spec.get('op')}) failed {infra_retries + 1}x on backend faults; "
+        f"last output tail: {last_infra}"
     )

@@ -17,7 +17,7 @@ from typing import Any
 
 import pandas as pd
 
-from ..utils import get_logger
+from ..utils import InfrastructureError, get_logger
 from .cache import StepAlreadyRunning, StepCall, StepFailure, get_workspace
 from .slurm import SlurmJob
 
@@ -59,6 +59,11 @@ class Experiment(abc.ABC):
             try:
                 call.result(ws, record_failure=record_failures)
             except StepAlreadyRunning:
+                raise
+            except InfrastructureError:
+                # nothing was cached (by design) -- downstream steps would
+                # re-resolve and re-run the failed upstream, so stop here;
+                # a re-sweep retries the arm from this step
                 raise
             except Exception as e:
                 if not record_failures:
@@ -163,6 +168,10 @@ class Sweep(abc.ABC):
                     exp.run(record_failures=True)
                 except StepAlreadyRunning as e:
                     logger.info(f"experiment step already running elsewhere, skipping: {e}")
+                except InfrastructureError as e:
+                    # transient backend fault: nothing cached, arm stays
+                    # "not yet run" -- move on and let a re-sweep retry it
+                    logger.warning(f"experiment hit a backend fault (not cached, re-sweep retries): {e}")
                 except Exception as e:
                     logger.info(f"experiment failed ({type(e).__name__}): {e}")
             return

@@ -24,7 +24,7 @@ from typing import Any, Callable
 
 import dill
 
-from ..utils import get_logger
+from ..utils import InfrastructureError, get_logger
 
 logger = get_logger()
 
@@ -238,7 +238,10 @@ class StepCall:
         try:
             out = self.fn(*resolved_args, **resolved_kwargs)
         except Exception as e:
-            if record_failure and self.cacheable:
+            # An InfrastructureError is the machine failing, not the arm:
+            # caching it would permanently mark a feasible arm "failed".
+            # Leave it uncached so a re-sweep retries.
+            if record_failure and self.cacheable and not isinstance(e, InfrastructureError):
                 ws.store(uid, StepFailure(type(e).__name__, str(e)))
             raise
         finally:

@@ -115,21 +115,27 @@ def benchmark_step_time(
             # in its own worker. The split extrapolation cannot see the
             # overlap XLA's scheduler finds inside one program (round-2
             # verdict: grids underestimated the production step by ~18%).
+            # Offloading arms are exempt: their production step IS the
+            # multi-program streamed-update protocol the split probes already
+            # measure, and fused timing would re-compile the ~13 grouped
+            # host-update programs per arm (~20+ min each on the remote
+            # compiler) for no additional signal.
             fused_time = None
-            fused = _run_worker(
-                {
-                    "op": "time_fused",
-                    "config": asdict(config),
-                    "micro_batch_size": micro_batch_size,
-                    "accumulation_steps": accumulation_steps,
-                    "samples": 1,
-                    "plan_overrides": plan_overrides,
-                }
-            )
-            if fused.get("ok"):
-                fused_time = fused.get("step_time_fused")
-            else:
-                logger.info(f"fused-step timing unavailable ({fused}); keeping split protocol")
+            if not config.offloading:
+                fused = _run_worker(
+                    {
+                        "op": "time_fused",
+                        "config": asdict(config),
+                        "micro_batch_size": micro_batch_size,
+                        "accumulation_steps": accumulation_steps,
+                        "samples": 1,
+                        "plan_overrides": plan_overrides,
+                    }
+                )
+                if fused.get("ok"):
+                    fused_time = fused.get("step_time_fused")
+                else:
+                    logger.info(f"fused-step timing unavailable ({fused}); keeping split protocol")
             return BenchmarkingResults(
                 micro_batch_size=micro_batch_size,
                 step_time=fused_time if fused_time is not None else split_time,

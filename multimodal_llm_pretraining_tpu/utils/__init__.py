@@ -4,6 +4,18 @@ from .trees import param_count, param_bytes, tree_flatten_with_paths
 _SYNC_FNS: dict = {}
 
 
+class InfrastructureError(RuntimeError):
+    """The environment failed, not the workload.
+
+    Raised when a probe worker dies of a transient backend fault (TPU tunnel
+    ``UNAVAILABLE``, coordinator timeouts) after retries. Experiment sweeps
+    must NOT cache these as arm failures: the arm is not infeasible, the
+    machine hiccuped -- a re-sweep should retry it. (The reference's
+    submitit jobs get this for free: an infra-failed SLURM job just gets
+    resubmitted; a cached ``None`` there always means a *workload* failure,
+    ``/root/reference/experiments/training_time_empirical.py:93-130``.)"""
+
+
 def block_on(tree) -> None:
     """Hard device sync: force completion of every program producing ``tree``.
 
@@ -70,4 +82,4 @@ def block_on(tree) -> None:
             pass
 
 
-__all__ = ["get_logger", "param_count", "param_bytes", "tree_flatten_with_paths", "block_on"]
+__all__ = ["get_logger", "param_count", "param_bytes", "tree_flatten_with_paths", "block_on", "InfrastructureError"]

@@ -66,6 +66,41 @@ def test_step_graph_hashing(fresh_workspace):
     assert b(y=a(x=2)).unique_id() != downstream.unique_id()
 
 
+def test_infrastructure_error_is_never_cached(fresh_workspace):
+    """A backend fault must not become a permanent 'arm failed' record:
+    re-running the step retries the work (cache.py skips the StepFailure
+    store for InfrastructureError)."""
+    from multimodal_llm_pretraining_tpu.experiments.cache import StepFailure
+    from multimodal_llm_pretraining_tpu.utils import InfrastructureError
+
+    calls = []
+
+    @step(cacheable=True, version="001")
+    def flaky(x):
+        calls.append(x)
+        if len(calls) == 1:
+            raise InfrastructureError("UNAVAILABLE: TPU device error")
+        return x * 2
+
+    call = flaky(x=3)
+    with pytest.raises(InfrastructureError):
+        call.result(record_failure=True)
+    assert not call.is_cached()  # nothing recorded
+    assert call.result(record_failure=True) == 6  # re-run retries
+    assert calls == [3, 3]
+
+    # a genuine workload failure IS cached as a StepFailure
+    @step(cacheable=True, version="001")
+    def broken(x):
+        raise ValueError("bad arm")
+
+    bcall = broken(x=1)
+    with pytest.raises(ValueError):
+        bcall.result(record_failure=True)
+    assert bcall.is_cached()
+    assert isinstance(bcall.result(), StepFailure)
+
+
 def test_training_config_expansion():
     cfg = TrainingConfig(
         num_hosts=1, chips_per_host=8, tpu_type="v4", model="pythia-160m", free_lunch=True, sharding="zero_2", offloading=False

@@ -52,6 +52,50 @@ def test_failure_classification():
     assert classify_worker_failure("... RESOURCE_EXHAUSTED: Ran out of memory ...") == {"oom": True}
     assert classify_worker_failure("Mosaic lowering failed for op ...") == {"lowering_failure": True}
     assert classify_worker_failure("SyntaxError: invalid syntax") is None
+    # transient backend faults (tunnel drop mid-sweep) are their own class
+    assert classify_worker_failure("jax.errors.JaxRuntimeError: UNAVAILABLE: TPU device error") == {"infra": True}
+    assert classify_worker_failure("DEADLINE_EXCEEDED: RPC timed out") == {"infra": True}
+    # OOM containing backend noise still classifies as OOM (checked first)
+    assert classify_worker_failure("UNAVAILABLE retry... then Ran out of memory") == {"oom": True}
+
+
+def _fake_completed(returncode, stdout="", stderr=""):
+    import subprocess
+
+    return subprocess.CompletedProcess(args=[], returncode=returncode, stdout=stdout, stderr=stderr)
+
+
+def test_probe_worker_retries_transient_backend_faults(monkeypatch):
+    """A tunnel UNAVAILABLE mid-probe retries the worker instead of failing
+    the arm; a later healthy attempt wins."""
+    from multimodal_llm_pretraining_tpu.benchmarking import isolation
+
+    attempts = []
+
+    def fake_run(cmd, **kw):
+        attempts.append(1)
+        if len(attempts) < 3:
+            return _fake_completed(1, stderr="JaxRuntimeError: UNAVAILABLE: TPU device error")
+        return _fake_completed(0, stdout='MLPT_RESULT:{"ok": true, "value": 7}\n')
+
+    monkeypatch.setattr(isolation.subprocess, "run", fake_run)
+    monkeypatch.setattr(isolation.time, "sleep", lambda s: None)
+    result = isolation.run_probe_worker({"op": "confirm"}, infra_retries=2)
+    assert result == {"ok": True, "value": 7}
+    assert len(attempts) == 3
+
+
+def test_probe_worker_raises_infrastructure_error_when_fault_persists(monkeypatch):
+    from multimodal_llm_pretraining_tpu.benchmarking import isolation
+    from multimodal_llm_pretraining_tpu.utils import InfrastructureError
+
+    monkeypatch.setattr(
+        isolation.subprocess, "run",
+        lambda cmd, **kw: _fake_completed(1, stderr="UNAVAILABLE: TPU device error"),
+    )
+    monkeypatch.setattr(isolation.time, "sleep", lambda s: None)
+    with pytest.raises(InfrastructureError, match="backend faults"):
+        isolation.run_probe_worker({"op": "confirm"}, infra_retries=1)
 
 
 @pytest.mark.slow
@@ -120,6 +164,23 @@ def test_step_time_halves_when_worker_ooms():
     assert np.isclose(res["step_time_fused"], 1.7)
     assert np.isclose(res["step_time"], 1.7)
     assert res["compile_disabled"] is False
+
+
+def test_step_time_skips_fused_for_offload_arms():
+    """Offload arms keep the split protocol: their production step IS the
+    multi-program streamed update the split probes measure, and fused timing
+    would recompile ~13 grouped host-update programs per arm for nothing."""
+    ops = []
+
+    def fake_worker(spec):
+        ops.append(spec["op"])
+        return {"ok": True, "accumulate_s": 0.5, "optimizer_s": 1.5, "micro_batch_size": spec["micro_batch_size"]}
+
+    res = _timing_fn(_cfg(sharding="zero_2", offloading=True), max_micro_batch_size=2,
+                     target_micro_batch_size=8, num_benchmarking_steps=1, _run_worker=fake_worker)
+    assert ops == ["time_phases"]  # no time_fused op dispatched
+    assert res["step_time_fused"] is None
+    assert np.isclose(res["step_time"], 0.5 * 4 + 1.5)
 
 
 def test_step_time_keeps_split_when_fused_unmeasurable():
