@@ -97,6 +97,31 @@ class TrainingConfig(BaseConfig):
         default="", metadata={"cache_omit_default": True}
     )
 
+    def measurement_equivalent(self) -> "TrainingConfig":
+        """Canonical representative of this config's single-chip measurement
+        equivalence class.
+
+        On one chip every sharding label expands to identical programs:
+        ``fsdp_partition_spec`` only shards when the data axis is > 1, so
+        "sharded" and "replicated" produce byte-identical PartitionSpecs, and
+        the quantized-comms branch is gated on ``data > 1``. The only thing
+        that changes the compiled step is the offload policy --
+        ``(offload_optimizer, offload_params)``. zero_1 / zero_2 /
+        fsdp_shard_grad_op + offload are therefore ONE measurement (opt-state
+        offload), and zero_3 / fsdp_full_shard + offload another (opt+param
+        offload). Benchmark steps key their cache on this canonical config so
+        a method sweep times each distinct program once instead of once per
+        label (~40 min of remote compiles per offload arm on this backend);
+        every label still gets its own grid row, carrying the shared number.
+        """
+        if self.num_chips > 1 or not self.offloading or self.sharding == "":
+            return self
+        from ..parallel.sharding import ShardingPolicy
+
+        policy = ShardingPolicy.from_method(self.sharding, offloading=True)
+        canonical = "zero_3" if policy.offload_params else "zero_1"
+        return dataclasses.replace(self, sharding=canonical)
+
     def training_plan(self, **overrides) -> TrainingPlan:
         model_class = self.model_class()
 

@@ -214,10 +214,14 @@ class TrainingTimeEmpirical(Experiment):
 
     @property
     def step_dict(self):
+        # Measurement steps key on the canonical single-chip-equivalent
+        # config: sharding labels that compile to the same program share one
+        # cached measurement (config.measurement_equivalent docstring).
+        meas_config = self.config.measurement_equivalent()
         steps = {}
-        steps["max_micro_batch_size"] = find_largest_batch_size(config=self.config, limit=self.target_micro_batch_size)
+        steps["max_micro_batch_size"] = find_largest_batch_size(config=meas_config, limit=self.target_micro_batch_size)
         steps["benchmarking_results"] = benchmark_step_time(
-            config=self.config,
+            config=meas_config,
             max_micro_batch_size=steps["max_micro_batch_size"],
             target_micro_batch_size=self.target_micro_batch_size,
             num_benchmarking_steps=self.benchmarking_steps,

@@ -356,6 +356,121 @@ class StreamingOffloadUpdater:
             )
         return self._group_jits[sig]
 
+    def _acc0(self, shape, dtype, dev_sh):
+        """Device-resident zeros to accumulate a host-param leaf's new rows."""
+        key = ("acc0", shape, str(dtype), str(dev_sh))
+        if key not in self._group_jits:
+            self._group_jits[key] = jax.jit(
+                lambda: jnp.zeros(shape, dtype),
+                out_shardings=dev_sh if isinstance(dev_sh, jax.sharding.Sharding) else None,
+            )
+        return self._group_jits[key]()
+
+    def _chunk_fn_hostparam(self, sig, out_shardings, twins, pc_twin, a, b, final):
+        """Chunk update when the PARAM leaf itself is pinned-host resident
+        (offload_params arms: zero_3 / fsdp_full_shard + offloading).
+
+        A host-space array cannot feed ``dynamic_update_slice`` (XLA requires
+        all operands in one memory space), so instead of updating the param
+        leaf in place the new rows accumulate in a device carry -- the chunk
+        walk covers every row, so the old values are never needed (master
+        mode) or arrive as the python-sliced host chunk (no-master mode).
+        The final chunk's program writes the carry back to the host param
+        sharding via out_shardings."""
+        if sig not in self._group_jits:
+            mu_tw, nu_tw, ms_tw = twins
+            leaves = [s for s in out_shardings]
+            leaves_ok = all(isinstance(s, jax.sharding.Sharding) for s in leaves)
+
+            def to_dev(x, t):
+                return jax.device_put(x, t) if t is not None else x
+
+            if self.master_weights:
+                def fn(clip_scale, count, acc, g, mu, nu, ms):
+                    src = to_dev(ms, ms_tw)
+                    s2, mu2, nu2 = self._leaf_update_impl(
+                        src, jax.lax.slice_in_dim(g, a, b, axis=0),
+                        to_dev(mu, mu_tw), to_dev(nu, nu_tw), clip_scale, count, True,
+                    )
+                    acc = jax.lax.dynamic_update_slice_in_dim(acc, s2.astype(acc.dtype), a, 0)
+                    return acc, mu2, nu2, s2
+
+                donate = (2, 4, 5, 6)
+            else:
+                def fn(clip_scale, count, acc, pc, g, mu, nu):
+                    s2, mu2, nu2 = self._leaf_update_impl(
+                        to_dev(pc, pc_twin), jax.lax.slice_in_dim(g, a, b, axis=0),
+                        to_dev(mu, mu_tw), to_dev(nu, nu_tw), clip_scale, count, True,
+                    )
+                    acc = jax.lax.dynamic_update_slice_in_dim(acc, s2.astype(acc.dtype), a, 0)
+                    return acc, mu2, nu2
+
+                donate = (2, 5, 6)
+            if final:
+                # the carry's output leaves device memory -- donation cannot
+                # alias across memory kinds
+                donate = tuple(d for d in donate if d != 2)
+            self._group_jits[sig] = jax.jit(
+                fn, out_shardings=out_shardings if leaves_ok else None, donate_argnums=donate
+            )
+        return self._group_jits[sig]
+
+    def _update_chunked_leaf(self, clip_scale, count, p, g, mu_t, nu_t, ms_t,
+                             p_out_sh, mu_sh_entry, ms_sh_entry, inflight, mesh=None):
+        """Stream one over-budget leaf's update, chunk by chunk.
+
+        Device-resident param leaf: each chunk program slices/updates/writes
+        the donated device leaf in place via dynamic_update_slice. Host-
+        resident param leaf: device-carry accumulation (_chunk_fn_hostparam).
+        Returns (new_p, mu_chunks, nu_chunks, ms_chunks, inflight)."""
+        ranges = self._chunk_ranges(p.shape)
+
+        def csh(entry, c):
+            return entry[c] if isinstance(entry, tuple) else entry
+
+        def twin(x):
+            sh = getattr(x, "sharding", None)
+            return _device_twin(sh, mesh) if _is_host(sh) else None
+
+        p_host = _is_host(getattr(p, "sharding", None))
+        if p_host:
+            dev_sh = _device_twin(p_out_sh, mesh) if isinstance(p_out_sh, jax.sharding.Sharding) else None
+            p_cur = self._acc0(p.shape, p.dtype, dev_sh)
+        else:
+            p_cur = p
+        mu_cs, nu_cs, ms_cs = [], [], []
+        for c, (a, b) in enumerate(ranges):
+            final = c == len(ranges) - 1
+            twins = (twin(mu_t[c]), twin(nu_t[c]), twin(ms_t[c]) if self.master_weights else None)
+            acc_out = p_out_sh if (final or not p_host) else dev_sh
+            outs = (acc_out, csh(mu_sh_entry, c), csh(mu_sh_entry, c)) + (
+                (csh(ms_sh_entry, c),) if self.master_weights else ()
+            )
+            if p_host:
+                pc = None if self.master_weights else p[a:b]
+                pc_tw = None if pc is None else twin(pc)
+                sig = ("chunk-hostp", p.shape, str(p.dtype), a, b, final,
+                       tuple(str(s) for s in outs), tuple(str(t) for t in twins), str(pc_tw))
+                fn = self._chunk_fn_hostparam(sig, outs, twins, pc_tw, a, b, final)
+                if self.master_weights:
+                    p_cur, mu2, nu2, ms2 = fn(clip_scale, count, p_cur, g, mu_t[c], nu_t[c], ms_t[c])
+                    ms_cs.append(ms2)
+                else:
+                    p_cur, mu2, nu2 = fn(clip_scale, count, p_cur, pc, g, mu_t[c], nu_t[c])
+            else:
+                sig = ("chunk", p.shape, str(p.dtype), a, b,
+                       tuple(str(s) for s in outs), tuple(str(t) for t in twins))
+                fn = self._chunk_fn(sig, outs, twins, a, b)
+                if self.master_weights:
+                    p_cur, mu2, nu2, ms2 = fn(clip_scale, count, p_cur, g, mu_t[c], nu_t[c], ms_t[c])
+                    ms_cs.append(ms2)
+                else:
+                    p_cur, mu2, nu2 = fn(clip_scale, count, p_cur, g, mu_t[c], nu_t[c])
+            mu_cs.append(mu2)
+            nu_cs.append(nu2)
+            inflight = self._throttle(nu2, inflight + 1)
+        return p_cur, tuple(mu_cs), tuple(nu_cs), tuple(ms_cs), inflight
+
     def grouped(self, params, opt_state, grads, acc_steps: float, *, param_sharding, opt_sharding):
         """Streamed update over bounded leaf groups -- the production path.
 
@@ -442,43 +557,17 @@ class StreamingOffloadUpdater:
                     new_ms[i] = mss2[j]
             inflight = self._throttle(nus2[-1] if nus2 else None, inflight + 1)
 
-        # over-budget leaves: one program per row chunk, updating the device
-        # param in place (donated + dynamic_update_slice) and streaming only
-        # that chunk's f32 state through HBM
+        # over-budget leaves: one program per row chunk, streaming only that
+        # chunk's f32 state through HBM (device params update in place via
+        # donation; host-resident params accumulate in a device carry)
         for i in sorted(chunked):
-            p_cur = p_leaves[i]
-            g = g_leaves[i]
-            mu_t, nu_t = mu_leaves[i], nu_leaves[i]
-            ms_t = master_leaves[i] if self.master_weights else None
-            mu_cs, nu_cs, ms_cs = [], [], []
-            for c, (a, b) in enumerate(self._chunk_ranges(p_cur.shape)):
-                twins = (
-                    twin(mu_t[c]),
-                    twin(nu_t[c]),
-                    twin(ms_t[c]) if self.master_weights else None,
-                )
-                def _csh(entry, c=c):
-                    return entry[c] if isinstance(entry, tuple) else entry
-
-                outs = (p_sh[i], _csh(mu_sh[i]), _csh(mu_sh[i])) + (
-                    (_csh(ms_sh[i]),) if self.master_weights else ()
-                )
-                sig = ("chunk", p_cur.shape, str(p_cur.dtype), a, b,
-                       tuple(str(s) for s in outs), tuple(str(t) for t in twins))
-                fn = self._chunk_fn(sig, outs, twins, a, b)
-                if self.master_weights:
-                    p_cur, mu2, nu2, ms2 = fn(clip_scale, count, p_cur, g, mu_t[c], nu_t[c], ms_t[c])
-                    ms_cs.append(ms2)
-                else:
-                    p_cur, mu2, nu2 = fn(clip_scale, count, p_cur, g, mu_t[c], nu_t[c])
-                mu_cs.append(mu2)
-                nu_cs.append(nu2)
-                inflight = self._throttle(nu2, inflight + 1)
-            new_p[i] = p_cur
-            new_mu[i] = tuple(mu_cs)
-            new_nu[i] = tuple(nu_cs)
+            new_p[i], new_mu[i], new_nu[i], ms_cs, inflight = self._update_chunked_leaf(
+                clip_scale, count, p_leaves[i], g_leaves[i],
+                mu_leaves[i], nu_leaves[i], master_leaves[i] if self.master_weights else None,
+                p_sh[i], mu_sh[i], ms_sh[i], inflight,
+            )
             if self.master_weights:
-                new_ms[i] = tuple(ms_cs)
+                new_ms[i] = ms_cs
 
         out_state = {
             "count": count + 1,
@@ -517,33 +606,18 @@ class StreamingOffloadUpdater:
         for p, g, mu, nu, ms, tr in zip(p_leaves, g_leaves, mu_leaves, nu_leaves, master_leaves, mask_leaves):
             if tr and isinstance(mu, tuple):
                 # over-budget leaf stored as row chunks: same math, chunk at
-                # a time (mirrors the grouped path's _chunk_fn)
-                def htwin(x):
-                    sh = getattr(x, "sharding", None)
-                    return _device_twin(sh, mesh) if _is_host(sh) else None
-
-                p_cur, mu_cs, nu_cs, ms_cs = p, [], [], []
-                for c, (a, b) in enumerate(self._chunk_ranges(p.shape)):
-                    twins = (htwin(mu[c]), htwin(nu[c]), htwin(ms[c]) if self.master_weights else None)
-                    outs = (
-                        getattr(p, "sharding", None),
-                        getattr(mu[c], "sharding", None),
-                        getattr(nu[c], "sharding", None),
-                    ) + ((getattr(ms[c], "sharding", None),) if self.master_weights else ())
-                    sig = ("chunk", p.shape, str(p.dtype), a, b,
-                           tuple(str(s) for s in outs), tuple(str(t) for t in twins))
-                    fn = self._chunk_fn(sig, outs, twins, a, b)
-                    if self.master_weights:
-                        p_cur, mu2, nu2, ms2 = fn(clip_scale, count, p_cur, g, mu[c], nu[c], ms[c])
-                        ms_cs.append(ms2)
-                    else:
-                        p_cur, mu2, nu2 = fn(clip_scale, count, p_cur, g, mu[c], nu[c])
-                    mu_cs.append(mu2)
-                    nu_cs.append(nu2)
-                new_p.append(p_cur)
-                new_mu.append(tuple(mu_cs))
-                new_nu.append(tuple(nu_cs))
-                new_master.append(tuple(ms_cs) if self.master_weights else ms)
+                # a time (shared with the grouped path)
+                p2, mu_cs, nu_cs, ms_cs, _ = self._update_chunked_leaf(
+                    clip_scale, count, p, g, mu, nu, ms if self.master_weights else None,
+                    getattr(p, "sharding", None),
+                    tuple(getattr(m, "sharding", None) for m in mu),
+                    tuple(getattr(m, "sharding", None) for m in ms) if self.master_weights else None,
+                    inflight=0, mesh=mesh,
+                )
+                new_p.append(p2)
+                new_mu.append(mu_cs)
+                new_nu.append(nu_cs)
+                new_master.append(ms_cs if self.master_weights else ms)
                 continue
             mu_sh = getattr(mu, "sharding", None)
             mu_d = jax.device_put(mu, _device_twin(mu_sh, mesh)) if _is_host(mu_sh) else mu

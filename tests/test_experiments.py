@@ -101,6 +101,36 @@ def test_infrastructure_error_is_never_cached(fresh_workspace):
     assert isinstance(bcall.result(), StepFailure)
 
 
+def test_single_chip_offload_arms_share_one_measurement():
+    """On one chip zero_1/zero_2/fsdp_shard_grad_op(+offload) compile to the
+    same program (sharding over a 1-sized axis is a no-op; only the offload
+    flags differ), so their benchmark steps must share one cache entry."""
+
+    def uid(sharding, **kw):
+        cfg = TrainingConfig(num_hosts=1, chips_per_host=1, tpu_type="v5e", model="pythia-1b",
+                             free_lunch=True, activation_checkpointing=True, sharding=sharding, **kw)
+        exp = TrainingTimeEmpirical(config=cfg)
+        return exp.step_dict["benchmarking_results"].unique_id()
+
+    # opt-state-offload class
+    assert uid("zero_1", offloading=True) == uid("zero_2", offloading=True) == uid("fsdp_shard_grad_op", offloading=True)
+    # opt+param-offload class is distinct
+    assert uid("zero_3", offloading=True) == uid("fsdp_full_shard", offloading=True)
+    assert uid("zero_1", offloading=True) != uid("zero_3", offloading=True)
+
+    # multi-chip arms keep distinct measurements (collectives really differ)
+    def uid8(sharding):
+        cfg = TrainingConfig(num_hosts=1, chips_per_host=8, tpu_type="v5e", model="pythia-1b",
+                             free_lunch=True, activation_checkpointing=True, sharding=sharding, offloading=True)
+        return TrainingTimeEmpirical(config=cfg).step_dict["benchmarking_results"].unique_id()
+
+    assert uid8("zero_1") != uid8("zero_2")
+    # the grid row itself still reports the arm's own config
+    cfg = TrainingConfig(num_hosts=1, chips_per_host=1, tpu_type="v5e", model="pythia-1b",
+                         free_lunch=True, activation_checkpointing=True, sharding="zero_2", offloading=True)
+    assert TrainingTimeEmpirical(config=cfg).to_dict()["sharding"] == "zero_2"
+
+
 def test_training_config_expansion():
     cfg = TrainingConfig(
         num_hosts=1, chips_per_host=8, tpu_type="v4", model="pythia-160m", free_lunch=True, sharding="zero_2", offloading=False

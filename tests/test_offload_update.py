@@ -243,3 +243,61 @@ def test_chunked_leaves_match_unchunked():
     for key in ("mu", "nu", "master"):
         cat = jnp.concatenate([np.asarray(c) for c in s_grp[key]["big"]], axis=0)
         np.testing.assert_array_equal(np.asarray(s_ref[key]["big"]), np.asarray(cat))
+
+
+@pytest.mark.parametrize("master", [True, False])
+def test_chunked_host_resident_params_match(monkeypatch, master):
+    """offload_params arms (zero_3 / fsdp_full_shard + offloading) keep the
+    LIVE param leaf in pinned host memory. A host-space array cannot feed
+    dynamic_update_slice, so the chunked update accumulates new rows in a
+    device carry instead (offload_update._chunk_fn_hostparam); the trajectory
+    must match the plain chunked path exactly. _is_host is forced True so the
+    CPU run takes the host-param branch."""
+    from multimodal_llm_pretraining_tpu.training import offload_update as ou
+    from types import SimpleNamespace
+
+    kwargs = {"lr": 1e-2, "betas": (0.9, 0.95), "eps": 1e-8, "weight_decay": 0.01}
+
+    def make():
+        upd = StreamingOffloadUpdater(
+            "adamw", dict(kwargs), SchedulerType.LINEAR, {"num_warmup_steps": 1},
+            num_training_steps=8, max_grad_norm=1.0, master_weights=master,
+        )
+        upd.GROUP_BYTES = 5 * 8 * 4  # "big" (12 rows) -> 3 chunks
+        upd.CHUNK_THRESHOLD = 0
+        return upd
+
+    params = {"big": jnp.arange(96, dtype=jnp.float32).reshape(12, 8) / 37.0, "small": jnp.ones((4,)) * 0.5}
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+
+    # reference trajectory: plain chunked path (params "on device")
+    upd_ref = make()
+    p_ref = params
+    s_ref = upd_ref.init(p_ref)
+
+    upd_host = make()
+    p_host = jax.tree.map(jnp.copy, params)
+    s_host = upd_host.init(p_host)
+
+    dummy = jax.tree.map(lambda _: SimpleNamespace(), params)
+    dummy_chunk = jax.tree.map(lambda x: SimpleNamespace(), s_ref["mu"])
+    opt_sh = {"mu": dummy_chunk, "nu": dummy_chunk, "master": dummy_chunk}
+
+    for i in range(3):
+        # numpy snapshot: grouped() donates both param and grad buffers
+        base = jax.tree.map(lambda p: np.asarray(p.astype(jnp.float32)), p_ref)
+
+        def mk_grads():
+            return jax.tree.map(lambda p: jnp.cos(jnp.asarray(p) * 3 + i), base)
+
+        p_ref, s_ref = upd_ref.grouped(p_ref, s_ref, mk_grads(), 2.0, param_sharding=dummy, opt_sharding=opt_sh)
+        monkeypatch.setattr(ou, "_is_host", lambda sh: True)
+        p_host, s_host = upd_host.grouped(p_host, s_host, mk_grads(), 2.0, param_sharding=dummy, opt_sharding=opt_sh)
+        monkeypatch.setattr(ou, "_is_host", lambda sh: getattr(sh, "memory_kind", None) == "pinned_host")
+
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_host)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    keys = ("mu", "nu", "master") if master else ("mu", "nu")
+    for key in keys:
+        for a, b in zip(jax.tree.leaves(s_ref[key]), jax.tree.leaves(s_host[key])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
