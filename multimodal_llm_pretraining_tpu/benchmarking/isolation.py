@@ -37,7 +37,9 @@ _LOWERING_MARKERS = ("Mosaic", "mosaic", "Pallas", "pallas", "lowering", "Unimpl
 # InfrastructureError propagates instead of a cacheable arm failure.
 _INFRA_MARKERS = (
     "UNAVAILABLE:",
+    "ABORTED:",
     "TPU device error",
+    "TPU backend error",
     "DEADLINE_EXCEEDED",
     "Socket closed",
     "failed to connect",

@@ -29,7 +29,7 @@ from ..benchmarking.isolation import run_probe_worker
 from ..benchmarking.max_batch_size import find_max_mbs_pow2, subprocess_confirm
 from ..benchmarking.utils import BenchmarkHarness
 from ..tpus import device_hbm_bytes
-from ..utils import get_logger
+from ..utils import InfrastructureError, get_logger
 from .base_classes import Experiment
 from .cache import step
 from .config import TrainingConfig
@@ -37,6 +37,12 @@ from .distribute import distribute
 from .slurm import SlurmJob
 
 logger = get_logger()
+
+# Fused-step probes never run more than this many in-program microbatches:
+# one program execution is bounded by the backend's per-execution deadline
+# (a full 256-acc pythia-1b step is ~2 min inside one program -> ABORTED).
+# 32 matches bench.py's proven program size (~15 s at 1b).
+FUSED_PROBE_MAX_ACC = 32
 
 
 class BenchmarkingResults(TypedDict):
@@ -111,29 +117,43 @@ def benchmark_step_time(
         if result.get("ok"):
             accumulation_steps = target_micro_batch_size // micro_batch_size
             split_time = result["accumulate_s"] * accumulation_steps + result["optimizer_s"]
-            # Fused mode: time the production step at the target accumulation
-            # in its own worker. The split extrapolation cannot see the
-            # overlap XLA's scheduler finds inside one program (round-2
-            # verdict: grids underestimated the production step by ~18%).
+            # Fused mode: time the production step in its own worker. The
+            # split extrapolation cannot see the overlap XLA's scheduler
+            # finds inside one program (round-2 verdict: grids
+            # underestimated the production step by ~18%).
             # Offloading arms are exempt: their production step IS the
             # multi-program streamed-update protocol the split probes already
             # measure, and fused timing would re-compile the ~13 grouped
             # host-update programs per arm (~20+ min each on the remote
             # compiler) for no additional signal.
+            # The probe runs at min(target, 32) accumulation steps: a single
+            # program execution spanning the full target (256 microbatches
+            # ~ 2 min at 1b) exceeds the backend's per-execution deadline
+            # and ABORTs the device. The accumulation is a scan over
+            # identical iterations, so the target-acc time follows linearly
+            # from the probe's per-microbatch rate with the measured
+            # optimizer phase as the intercept.
             fused_time = None
             if not config.offloading:
-                fused = _run_worker(
-                    {
-                        "op": "time_fused",
-                        "config": asdict(config),
-                        "micro_batch_size": micro_batch_size,
-                        "accumulation_steps": accumulation_steps,
-                        "samples": 1,
-                        "plan_overrides": plan_overrides,
-                    }
-                )
+                probe_acc = min(accumulation_steps, FUSED_PROBE_MAX_ACC)
+                try:
+                    fused = _run_worker(
+                        {
+                            "op": "time_fused",
+                            "config": asdict(config),
+                            "micro_batch_size": micro_batch_size,
+                            "accumulation_steps": probe_acc,
+                            "samples": 1,
+                            "plan_overrides": plan_overrides,
+                        }
+                    )
+                except InfrastructureError as e:
+                    logger.info(f"fused-step probe hit backend faults; keeping split protocol ({e})")
+                    fused = {}
                 if fused.get("ok"):
-                    fused_time = fused.get("step_time_fused")
+                    t_probe = fused["step_time_fused"]
+                    optim = min(result["optimizer_s"], 0.5 * t_probe)
+                    fused_time = (t_probe - optim) * (accumulation_steps / probe_acc) + optim
                 else:
                     logger.info(f"fused-step timing unavailable ({fused}); keeping split protocol")
             return BenchmarkingResults(

@@ -166,6 +166,45 @@ def test_step_time_halves_when_worker_ooms():
     assert res["compile_disabled"] is False
 
 
+def test_step_time_fused_probe_caps_accumulation():
+    """A fused program spanning the full target accumulation (256 x ~0.5 s
+    at 1b) exceeds the backend's per-execution deadline and ABORTs; the probe
+    runs at <=32 in-program microbatches and the target-acc time follows
+    linearly (scan of identical iterations) with the optimizer phase as the
+    intercept."""
+    fused_specs = []
+
+    def fake_worker(spec):
+        if spec["op"] == "time_fused":
+            fused_specs.append(spec["accumulation_steps"])
+            return {"ok": True, "step_time_fused": 15.5}
+        return {"ok": True, "accumulate_s": 0.52, "optimizer_s": 0.12, "micro_batch_size": spec["micro_batch_size"]}
+
+    res = _timing_fn(_cfg(), max_micro_batch_size=4, target_micro_batch_size=1024,
+                     num_benchmarking_steps=3, _run_worker=fake_worker)
+    assert fused_specs == [32]
+    # (15.5 - 0.12) * (256 / 32) + 0.12
+    assert np.isclose(res["step_time_fused"], (15.5 - 0.12) * 8 + 0.12)
+    assert np.isclose(res["step_time"], res["step_time_fused"])
+    assert np.isclose(res["step_time_split"], 0.52 * 256 + 0.12)
+
+
+def test_step_time_keeps_split_when_fused_probe_hits_backend_faults():
+    """A persistent backend fault in the fused probe must not fail the arm:
+    the split measurement already succeeded and remains the protocol."""
+    from multimodal_llm_pretraining_tpu.utils import InfrastructureError
+
+    def fake_worker(spec):
+        if spec["op"] == "time_fused":
+            raise InfrastructureError("probe worker (time_fused) failed 3x on backend faults")
+        return {"ok": True, "accumulate_s": 0.5, "optimizer_s": 0.1, "micro_batch_size": spec["micro_batch_size"]}
+
+    res = _timing_fn(_cfg(), max_micro_batch_size=2, target_micro_batch_size=8,
+                     num_benchmarking_steps=1, _run_worker=fake_worker)
+    assert res["step_time_fused"] is None
+    assert np.isclose(res["step_time"], 0.5 * 4 + 0.1)
+
+
 def test_step_time_skips_fused_for_offload_arms():
     """Offload arms keep the split protocol: their production step IS the
     multi-program streamed update the split probes measure, and fused timing
