@@ -47,6 +47,7 @@ def find_max_mbs_pow2(
     limit: int,
     hbm_budget_bytes: int | None = None,
     confirm: Callable[[int], bool] | None = None,
+    upgrade: Callable[[int], bool] | None = None,
 ) -> int:
     """Largest fitting power-of-2 micro-batch size (0 if none fit).
 
@@ -54,6 +55,17 @@ def find_max_mbs_pow2(
     running a step; it should be ``subprocess_confirm(...)`` on hardware
     where an OOM can poison the process. Candidates that fail confirmation
     are halved until one passes.
+
+    ``upgrade(mbs) -> bool`` optionally ground-truths candidates the STATIC
+    table rejected: the table analyzes the standalone accumulate program,
+    which materializes argument/output/temp buffers the production fused
+    step reuses inside one jit -- at pythia-1b scale the static picture
+    overestimates by ~3 GiB and rejects micro-batches the real training
+    step runs comfortably (dots-remat mbs 4 predicts 16.2 GiB but executes
+    in 13.4). A disposable worker runs the production step at each rejected
+    candidate; doubling continues while it survives (the reference's
+    run-and-catch-OOM search has this ground truth built in,
+    ``/root/reference/src/benchmarking/max_batch_size.py:11-25``).
     """
     table = predicted_fit_table(harness, limit, hbm_budget_bytes)
     best = max((m for m, ok in table.items() if ok), default=0)
@@ -63,15 +75,27 @@ def find_max_mbs_pow2(
             break
         logger.info(f"mbs={best} fit statically but failed at runtime; halving")
         best //= 2
+
+    # whether a candidate was rejected by the static table or refuted by the
+    # standalone runtime confirm, the production fused step is a DIFFERENT
+    # program with better buffer reuse -- ground-truth it directly
+    while upgrade is not None and best >= 1 and best * 2 <= limit:
+        if not upgrade(best * 2):
+            break
+        logger.info(f"mbs={best * 2} rejected by the split-program probes but the production step runs it; upgrading")
+        best *= 2
     return best
 
 
-def subprocess_confirm(config, dataset_overrides: dict | None = None) -> Callable[[int], bool]:
+def subprocess_confirm(config, dataset_overrides: dict | None = None, op: str = "confirm") -> Callable[[int], bool]:
     """Runtime confirmation in a disposable worker process.
 
     Returns a ``confirm(mbs)`` callable for ``find_max_mbs_pow2``: True when
-    the worker completes one accumulate + optimizer step, False when it dies
-    of OOM (however messily -- the parent process is untouched either way).
+    the worker completes the probe step(s), False when it dies of OOM
+    (however messily -- the parent process is untouched either way).
+    ``op="confirm"`` runs one standalone accumulate + optimizer step;
+    ``op="confirm_fused"`` runs one production fused train step (grad-acc 2),
+    the ground truth for ``find_max_mbs_pow2``'s ``upgrade`` hook.
     """
     import dataclasses
 
@@ -79,7 +103,7 @@ def subprocess_confirm(config, dataset_overrides: dict | None = None) -> Callabl
 
     def confirm(mbs: int) -> bool:
         spec = {
-            "op": "confirm",
+            "op": op,
             "config": dataclasses.asdict(config),
             "micro_batch_size": mbs,
         }

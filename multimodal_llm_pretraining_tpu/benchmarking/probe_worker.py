@@ -7,6 +7,12 @@ failure) is an acceptable outcome -- the parent classifies it from output.
 Spec fields:
   op: "confirm"      -- setup + one accumulate step + one optimizer step at
                         micro_batch_size (the max-batch runtime confirmation)
+      "confirm_fused"-- run ONE production fused train step (grad-acc 2) at
+                        micro_batch_size. Ground truth for arms whose
+                        production step is a single jit program: the fused
+                        step reuses buffers the standalone accumulate
+                        program cannot, so it fits micro-batches the static
+                        analysis rejects.
       "time_phases"  -- measure (accumulate, optimizer) phase times
       "time_fused"   -- time the production fused train step at
                         ``accumulation_steps`` (needs accumulation_steps)
@@ -42,11 +48,11 @@ def run(spec: dict) -> dict:
     config = TrainingConfig(**spec["config"])
     mbs = int(spec["micro_batch_size"])
 
-    if spec["op"] == "time_fused":
+    if spec["op"] in ("time_fused", "confirm_fused"):
         from .step_time import measure_fused_step_time
         from ..training.step import TrainSession
 
-        acc = int(spec["accumulation_steps"])
+        acc = int(spec.get("accumulation_steps", 2))
         plan = config.training_plan(
             num_training_steps=1,
             micro_batch_size=mbs,
@@ -57,6 +63,16 @@ def run(spec: dict) -> dict:
         session = TrainSession(plan, config.model_class())
         for attr, value in spec.get("dataset_overrides", {}).items():
             setattr(session.dataset, attr, value)
+        if spec["op"] == "confirm_fused":
+            import jax
+
+            from ..utils import block_on
+
+            state = session.init_state()
+            step = session.train_step_fn()
+            state, metrics = step(state, session.make_train_batch(seed=0), jax.random.key(0))
+            block_on((state.params, metrics))
+            return {"ok": True, "micro_batch_size": mbs}
         fused = measure_fused_step_time(session, acc, samples=int(spec.get("samples", 1)))
         return {"ok": True, "micro_batch_size": mbs, "step_time_fused": fused}
 

@@ -46,9 +46,10 @@ FUSED_PROBE_MAX_ACC = 32
 
 
 class BenchmarkingResults(TypedDict):
-    micro_batch_size: int
+    micro_batch_size: int  # the arm's mbs (production/fused when measured)
+    micro_batch_size_split: int  # mbs the split phases ran at (can be lower)
     step_time: float  # authoritative: fused when measurable, else split
-    step_time_split: float  # acc_time x acc_steps + optim_time (ref protocol)
+    step_time_split: float | None  # acc_time x acc_steps + optim_time (ref protocol)
     step_time_fused: float | None  # production train_step_fn() at target acc
     compile_disabled: bool
 
@@ -62,7 +63,17 @@ def _static_probe_harness(config: TrainingConfig) -> BenchmarkHarness:
 
 
 @step(cacheable=True, version="004")
-def find_largest_batch_size(config: TrainingConfig, limit: int) -> int:
+def find_largest_batch_size(config: TrainingConfig, limit: int, fused_ground_truth: bool = False) -> int:
+    """Largest runnable micro-batch.
+
+    ``fused_ground_truth`` (non-offload arms): candidates the static fit
+    table rejects are re-tried by really running the PRODUCTION fused train
+    step in a disposable worker -- the static analysis of the standalone
+    accumulate program overestimates (no cross-phase buffer reuse) and at 1b
+    scale rejects micro-batches the production step runs in 2+ GiB of spare
+    HBM. Offload arms keep the plain protocol: their production step IS the
+    standalone multi-program schedule the table models."""
+
     def search() -> int:
         harness = _static_probe_harness(config)
         return find_max_mbs_pow2(
@@ -70,6 +81,7 @@ def find_largest_batch_size(config: TrainingConfig, limit: int) -> int:
             limit=limit,
             hbm_budget_bytes=device_hbm_bytes(config.tpu_type),
             confirm=subprocess_confirm(config),
+            upgrade=subprocess_confirm(config, op="confirm_fused") if fused_ground_truth else None,
         )
 
     return distribute(func=search, workers_per_host=config.chips_per_host)
@@ -82,6 +94,7 @@ def benchmark_step_time(
     target_micro_batch_size: int,
     num_benchmarking_steps: int,
     trial: int = 0,
+    fused_primary: bool = False,
     _run_worker=run_probe_worker,  # injectable for tests
 ) -> BenchmarkingResults | None:
     """Measured step time at the largest runnable micro-batch.
@@ -89,6 +102,12 @@ def benchmark_step_time(
     Each timing attempt is one disposable worker; the parent only reacts to
     how it ends: OOM -> halve, Pallas lowering failure -> one retry on plain
     XLA kernels, success -> extrapolate acc_time x acc_steps + optim_time.
+
+    ``fused_primary``: the arm's micro-batch was ground-truthed with the
+    production fused step (find_largest_batch_size), which fits batches the
+    standalone split-phase programs cannot -- the fused probe then runs at
+    ``max_micro_batch_size`` even when the split phases had to halve below
+    it, and the fused number (at its own mbs) is the arm's measurement.
     """
     del trial  # cache-key salt only
     micro_batch_size = max_micro_batch_size
@@ -117,6 +136,9 @@ def benchmark_step_time(
         if result.get("ok"):
             accumulation_steps = target_micro_batch_size // micro_batch_size
             split_time = result["accumulate_s"] * accumulation_steps + result["optimizer_s"]
+            # the fused probe runs at the arm's production micro-batch (can
+            # exceed what the standalone split programs fit, fused_primary)
+            fused_mbs = max_micro_batch_size if fused_primary else micro_batch_size
             # Fused mode: time the production step in its own worker. The
             # split extrapolation cannot see the overlap XLA's scheduler
             # finds inside one program (round-2 verdict: grids
@@ -135,13 +157,14 @@ def benchmark_step_time(
             # optimizer phase as the intercept.
             fused_time = None
             if not config.offloading:
-                probe_acc = min(accumulation_steps, FUSED_PROBE_MAX_ACC)
+                fused_acc = target_micro_batch_size // fused_mbs
+                probe_acc = min(fused_acc, FUSED_PROBE_MAX_ACC)
                 try:
                     fused = _run_worker(
                         {
                             "op": "time_fused",
                             "config": asdict(config),
-                            "micro_batch_size": micro_batch_size,
+                            "micro_batch_size": fused_mbs,
                             "accumulation_steps": probe_acc,
                             "samples": 1,
                             "plan_overrides": plan_overrides,
@@ -153,11 +176,12 @@ def benchmark_step_time(
                 if fused.get("ok"):
                     t_probe = fused["step_time_fused"]
                     optim = min(result["optimizer_s"], 0.5 * t_probe)
-                    fused_time = (t_probe - optim) * (accumulation_steps / probe_acc) + optim
+                    fused_time = (t_probe - optim) * (fused_acc / probe_acc) + optim
                 else:
                     logger.info(f"fused-step timing unavailable ({fused}); keeping split protocol")
             return BenchmarkingResults(
-                micro_batch_size=micro_batch_size,
+                micro_batch_size=fused_mbs if fused_time is not None else micro_batch_size,
+                micro_batch_size_split=micro_batch_size,
                 step_time=fused_time if fused_time is not None else split_time,
                 step_time_split=split_time,
                 step_time_fused=fused_time,
@@ -165,6 +189,35 @@ def benchmark_step_time(
             )
         raise RuntimeError(f"timing worker returned {result!r}")
 
+    if fused_primary and not config.offloading and max_micro_batch_size > 0:
+        # the split-phase programs OOM at every micro-batch but the
+        # production fused step was ground-truthed runnable: measure
+        # fused-only (no split intercept; scale the whole probe)
+        fused_acc = target_micro_batch_size // max_micro_batch_size
+        probe_acc = min(fused_acc, FUSED_PROBE_MAX_ACC)
+        try:
+            fused = _run_worker(
+                {
+                    "op": "time_fused",
+                    "config": asdict(config),
+                    "micro_batch_size": max_micro_batch_size,
+                    "accumulation_steps": probe_acc,
+                    "samples": 1,
+                    "plan_overrides": plan_overrides,
+                }
+            )
+        except InfrastructureError:
+            fused = {}
+        if fused.get("ok"):
+            fused_time = fused["step_time_fused"] * (fused_acc / probe_acc)
+            return BenchmarkingResults(
+                micro_batch_size=max_micro_batch_size,
+                micro_batch_size_split=0,
+                step_time=fused_time,
+                step_time_split=None,  # split protocol infeasible at this scale
+                step_time_fused=fused_time,
+                compile_disabled=bool(plan_overrides),
+            )
     return None
 
 
@@ -238,14 +291,23 @@ class TrainingTimeEmpirical(Experiment):
         # config: sharding labels that compile to the same program share one
         # cached measurement (config.measurement_equivalent docstring).
         meas_config = self.config.measurement_equivalent()
+        # Non-offload arms ground-truth the micro-batch with the production
+        # fused step and report its timing as the arm's measurement. Passed
+        # as extra kwargs ONLY for those arms so the cached offload
+        # measurements (whose protocol is unchanged) keep their keys.
+        fused_kw = {"fused_ground_truth": True} if not meas_config.offloading else {}
+        fused_bench_kw = {"fused_primary": True} if not meas_config.offloading else {}
         steps = {}
-        steps["max_micro_batch_size"] = find_largest_batch_size(config=meas_config, limit=self.target_micro_batch_size)
+        steps["max_micro_batch_size"] = find_largest_batch_size(
+            config=meas_config, limit=self.target_micro_batch_size, **fused_kw
+        )
         steps["benchmarking_results"] = benchmark_step_time(
             config=meas_config,
             max_micro_batch_size=steps["max_micro_batch_size"],
             target_micro_batch_size=self.target_micro_batch_size,
             num_benchmarking_steps=self.benchmarking_steps,
             trial=self.trial,
+            **fused_bench_kw,
         )
         steps["training_days"] = compute_training_days(
             benchmarking_results=steps["benchmarking_results"],

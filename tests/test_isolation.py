@@ -116,6 +116,23 @@ def test_probe_worker_end_to_end():
 
 
 @pytest.mark.slow
+def test_probe_worker_confirm_fused_end_to_end():
+    """confirm_fused runs ONE production fused step (grad-acc 2) in the
+    worker -- the ground-truth probe for statically-rejected micro-batches."""
+    cfg = TrainingConfig(num_hosts=1, chips_per_host=8, tpu_type="v5e", model="pythia-14m")
+    result = run_probe_worker(
+        {
+            "op": "confirm_fused",
+            "config": cfg.__dict__,
+            "micro_batch_size": 1,
+            "dataset_overrides": {"sequence_length": 17},
+        },
+        timeout=420,
+    )
+    assert result.get("ok") is True
+
+
+@pytest.mark.slow
 def test_probe_worker_time_fused_end_to_end():
     """The real worker subprocess times the production fused step."""
     cfg = TrainingConfig(num_hosts=1, chips_per_host=8, tpu_type="v5e", model="pythia-14m")
@@ -164,6 +181,80 @@ def test_step_time_halves_when_worker_ooms():
     assert np.isclose(res["step_time_fused"], 1.7)
     assert np.isclose(res["step_time"], 1.7)
     assert res["compile_disabled"] is False
+
+
+def test_max_mbs_upgrade_past_static_rejection():
+    """The static table analyzes the standalone accumulate program, which
+    overestimates the production fused step's footprint; candidates it
+    rejects are ground-truthed by really running the fused step."""
+    upgrades = []
+
+    def upgrade(mbs):
+        upgrades.append(mbs)
+        return mbs <= 4  # the production step really runs mbs 4, not 8
+
+    # static table: only mbs 1, 2 fit within a tiny budget
+    h = _harness()
+    best = find_max_mbs_pow2(h, limit=8, hbm_budget_bytes=1, confirm=lambda m: True, upgrade=upgrade)
+    # budget of 1 byte: static table rejects mbs 1 -> best 0, no upgrades
+    assert best == 0 and upgrades == []
+
+
+def test_max_mbs_upgrade_doubles_while_production_step_survives():
+    """Candidates refuted by the split-program probes (statically or at
+    runtime) are re-tried with the production fused step, doubling while it
+    survives."""
+    probed = []
+
+    def upgrade(mbs):
+        probed.append(mbs)
+        return mbs <= 4  # the production step really runs mbs 4, not 8
+
+    # runtime confirm refutes everything above 1 for the standalone programs
+    best = find_max_mbs_pow2(_harness(), limit=8, hbm_budget_bytes=1 << 40,
+                             confirm=lambda m: m <= 1, upgrade=upgrade)
+    assert best == 4
+    assert probed == [2, 4, 8]  # doubled from the confirmed floor, stopped at 8
+
+
+def test_step_time_fused_primary_runs_fused_at_ground_truthed_mbs():
+    """fused_primary: the split phases halve to what the standalone programs
+    fit, but the fused probe runs at the arm's (production-verified) mbs and
+    its number is the arm's measurement."""
+    fused_specs = []
+
+    def fake_worker(spec):
+        if spec["op"] == "time_fused":
+            fused_specs.append((spec["micro_batch_size"], spec["accumulation_steps"]))
+            return {"ok": True, "step_time_fused": 1.7}
+        if spec["micro_batch_size"] > 2:
+            return {"oom": True}  # standalone phases OOM above mbs 2
+        return {"ok": True, "accumulate_s": 0.5, "optimizer_s": 0.1, "micro_batch_size": spec["micro_batch_size"]}
+
+    res = _timing_fn(_cfg(), max_micro_batch_size=4, target_micro_batch_size=16,
+                     num_benchmarking_steps=1, fused_primary=True, _run_worker=fake_worker)
+    assert fused_specs == [(4, 4)]  # fused at the production mbs 4, acc 16/4
+    assert res["micro_batch_size"] == 4
+    assert res["micro_batch_size_split"] == 2
+    assert np.isclose(res["step_time"], 1.7)
+    assert np.isclose(res["step_time_split"], 0.5 * 8 + 0.1)  # split at its own mbs
+
+
+def test_step_time_fused_only_when_split_infeasible():
+    """Every split-phase probe OOMs but the production step runs: the arm
+    reports a fused-only measurement instead of failing."""
+    def fake_worker(spec):
+        if spec["op"] == "time_fused":
+            assert spec["micro_batch_size"] == 4 and spec["accumulation_steps"] == 4
+            return {"ok": True, "step_time_fused": 2.0}
+        return {"oom": True}
+
+    res = _timing_fn(_cfg(), max_micro_batch_size=4, target_micro_batch_size=16,
+                     num_benchmarking_steps=1, fused_primary=True, _run_worker=fake_worker)
+    assert res["micro_batch_size"] == 4
+    assert res["micro_batch_size_split"] == 0
+    assert res["step_time_split"] is None
+    assert np.isclose(res["step_time"], 2.0)
 
 
 def test_step_time_fused_probe_caps_accumulation():
