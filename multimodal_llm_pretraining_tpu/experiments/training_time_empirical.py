@@ -38,11 +38,17 @@ from .slurm import SlurmJob
 
 logger = get_logger()
 
-# Fused-step probes never run more than this many in-program microbatches:
-# one program execution is bounded by the backend's per-execution deadline
-# (a full 256-acc pythia-1b step is ~2 min inside one program -> ABORTED).
-# 32 matches bench.py's proven program size (~15 s at 1b).
-FUSED_PROBE_MAX_ACC = 32
+# Fused-step probes never run more than this many in-program SAMPLE ROWS
+# (micro_batch_size x accumulation_steps): one program execution is bounded
+# by the backend's per-execution deadline (a full 256-acc pythia-1b step is
+# ~2 min inside one program -> ABORTED). 128 rows matches bench.py's proven
+# program size (mbs 4 x acc 32, ~15 s at 1b); at mbs 16 the probe drops to
+# acc 8 for the same in-program work.
+FUSED_PROBE_MAX_ROWS = 128
+
+
+def _fused_probe_acc(target_acc: int, mbs: int) -> int:
+    return max(1, min(target_acc, FUSED_PROBE_MAX_ROWS // max(mbs, 1)))
 
 
 class BenchmarkingResults(TypedDict):
@@ -148,7 +154,7 @@ def benchmark_step_time(
             # measure, and fused timing would re-compile the ~13 grouped
             # host-update programs per arm (~20+ min each on the remote
             # compiler) for no additional signal.
-            # The probe runs at min(target, 32) accumulation steps: a single
+            # The probe caps in-program sample rows (mbs x acc): a single
             # program execution spanning the full target (256 microbatches
             # ~ 2 min at 1b) exceeds the backend's per-execution deadline
             # and ABORTs the device. The accumulation is a scan over
@@ -158,7 +164,7 @@ def benchmark_step_time(
             fused_time = None
             if not config.offloading:
                 fused_acc = target_micro_batch_size // fused_mbs
-                probe_acc = min(fused_acc, FUSED_PROBE_MAX_ACC)
+                probe_acc = _fused_probe_acc(fused_acc, fused_mbs)
                 try:
                     fused = _run_worker(
                         {
@@ -194,7 +200,7 @@ def benchmark_step_time(
         # production fused step was ground-truthed runnable: measure
         # fused-only (no split intercept; scale the whole probe)
         fused_acc = target_micro_batch_size // max_micro_batch_size
-        probe_acc = min(fused_acc, FUSED_PROBE_MAX_ACC)
+        probe_acc = _fused_probe_acc(fused_acc, max_micro_batch_size)
         try:
             fused = _run_worker(
                 {

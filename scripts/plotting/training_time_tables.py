@@ -11,6 +11,9 @@ def training_time_table(num_hosts, chips_per_host, tpu_type, model, output=None)
         print("no cached results; run scripts/benchmark.py first")
         return
     cols = ["method", "micro_batch_size", "step_time", "training_days"]
+    # protocol transparency: the production (fused) measurement and the
+    # reference-style split extrapolation, when both were recorded
+    cols += [c for c in ("step_time_fused", "step_time_split", "micro_batch_size_split") if c in df.columns]
     table = df[cols].sort_values("training_days")
     if output and output.endswith(".tex"):
         with open(output, "w") as f:

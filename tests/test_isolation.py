@@ -280,6 +280,24 @@ def test_step_time_fused_probe_caps_accumulation():
     assert np.isclose(res["step_time_split"], 0.52 * 256 + 0.12)
 
 
+def test_step_time_fused_probe_caps_rows_not_acc():
+    """The deadline bounds program DURATION ~ in-program sample rows
+    (mbs x acc): at mbs 16 the probe drops to acc 8, not acc 32."""
+    fused_specs = []
+
+    def fake_worker(spec):
+        if spec["op"] == "time_fused":
+            fused_specs.append((spec["micro_batch_size"], spec["accumulation_steps"]))
+            return {"ok": True, "step_time_fused": 8.0}
+        return {"ok": True, "accumulate_s": 1.0, "optimizer_s": 0.1, "micro_batch_size": spec["micro_batch_size"]}
+
+    res = _timing_fn(_cfg(), max_micro_batch_size=16, target_micro_batch_size=1024,
+                     num_benchmarking_steps=1, fused_primary=True, _run_worker=fake_worker)
+    assert fused_specs == [(16, 8)]  # 128-row cap
+    # (8.0 - 0.1) * (64 / 8) + 0.1
+    assert np.isclose(res["step_time"], 7.9 * 8 + 0.1)
+
+
 def test_step_time_keeps_split_when_fused_probe_hits_backend_faults():
     """A persistent backend fault in the fused probe must not fail the arm:
     the split measurement already succeeded and remains the protocol."""
