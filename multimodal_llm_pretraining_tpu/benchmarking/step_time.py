@@ -62,7 +62,7 @@ def measure_phase_times(harness: BenchmarkHarness, micro_batch_size: int, sample
     return times
 
 
-def measure_fused_step_time(session, accumulation_steps: int, samples: int = 1) -> float:
+def measure_fused_step_time(session, accumulation_steps: int, samples: int = 3) -> float:
     """Time the PRODUCTION fused step (``TrainSession.train_step_fn``) at the
     target accumulation count.
 
@@ -81,17 +81,20 @@ def measure_fused_step_time(session, accumulation_steps: int, samples: int = 1) 
     fn = session.train_step_fn()
     import jax
 
-    # warmup (compile) with its own batch, untimed
-    batch = session.make_train_batch(seed=0)
-    rng = jax.device_put(jax.random.key(0), session.repl_sharding)
-    block_on((batch, rng))
-    state, metrics = fn(state, batch, rng)
-    block_on((state.params, metrics))
+    # TWO untimed warmups: the first triggers the (remote) compile; the
+    # second still carries program-load/tuning overhead on this backend
+    # (~20% once observed on the executions right after compile)
+    for w in range(2):
+        batch = session.make_train_batch(seed=w)
+        rng = jax.device_put(jax.random.key(w), session.repl_sharding)
+        block_on((batch, rng))
+        state, metrics = fn(state, batch, rng)
+        block_on((state.params, metrics))
 
-    total = 0.0
+    times = []
     for i in range(samples):
-        batch = session.make_train_batch(seed=i + 1)
-        rng = jax.device_put(jax.random.key(i + 1), session.repl_sharding)
+        batch = session.make_train_batch(seed=i + 2)
+        rng = jax.device_put(jax.random.key(i + 2), session.repl_sharding)
         block_on((batch, rng))
 
         def one_step():
@@ -99,9 +102,9 @@ def measure_fused_step_time(session, accumulation_steps: int, samples: int = 1) 
             state, m = fn(state, batch, rng)
             block_on((state.params, m))
 
-        total += timed(one_step)
-    fused = total / samples
-    logger.info(f"fused step @ acc={accumulation_steps}: {fused:.4f}s (n={samples})")
+        times.append(timed(one_step))
+    fused = sorted(times)[len(times) // 2]  # median (bench.py protocol)
+    logger.info(f"fused step @ acc={accumulation_steps}: {fused:.4f}s (median of {samples})")
     return fused
 
 

@@ -125,6 +125,11 @@ class TrainingConfig(BaseConfig):
     def training_plan(self, **overrides) -> TrainingPlan:
         model_class = self.model_class()
 
+        # NOTE: for bf16-compute models "high" (bf16_3x) costs a measured
+        # +3.4% step time on pythia-1b vs "default" (single-pass bf16, what
+        # torch autocast runs with or without TF32) -- the `matmul_precision`
+        # search dimension exposes the faster setting; flipping the DEFAULT
+        # here requires re-measuring every committed grid consistently.
         if self.free_lunch:
             matmul_precision = "high" if self.supports_bf16() else "highest"
             compile = model_class.supports_compilation

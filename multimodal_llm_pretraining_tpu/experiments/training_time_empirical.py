@@ -172,7 +172,7 @@ def benchmark_step_time(
                             "config": asdict(config),
                             "micro_batch_size": fused_mbs,
                             "accumulation_steps": probe_acc,
-                            "samples": 1,
+                            "samples": 3,
                             "plan_overrides": plan_overrides,
                         }
                     )
@@ -208,7 +208,7 @@ def benchmark_step_time(
                     "config": asdict(config),
                     "micro_batch_size": max_micro_batch_size,
                     "accumulation_steps": probe_acc,
-                    "samples": 1,
+                    "samples": 3,
                     "plan_overrides": plan_overrides,
                 }
             )
