@@ -35,17 +35,8 @@ _LOWERING_MARKERS = ("Mosaic", "mosaic", "Pallas", "pallas", "lowering", "Unimpl
 # with UNAVAILABLE mid-sweep). These say nothing about the arm under test,
 # so the worker is retried and -- if the fault persists -- an
 # InfrastructureError propagates instead of a cacheable arm failure.
-_INFRA_MARKERS = (
-    "UNAVAILABLE:",
-    "ABORTED:",
-    "TPU device error",
-    "TPU backend error",
-    "DEADLINE_EXCEEDED",
-    "Socket closed",
-    "failed to connect",
-    "Connection reset",
-    "coordination service",
-)
+# Marker list shared with the step cache's main-process classifier.
+from ..utils import INFRA_MARKERS as _INFRA_MARKERS  # noqa: E402
 
 
 def _worker_env(env_overrides: dict | None = None) -> dict:

@@ -24,7 +24,7 @@ from typing import Any, Callable
 
 import dill
 
-from ..utils import InfrastructureError, get_logger
+from ..utils import get_logger, is_infrastructure_error
 
 logger = get_logger()
 
@@ -238,10 +238,13 @@ class StepCall:
         try:
             out = self.fn(*resolved_args, **resolved_kwargs)
         except Exception as e:
-            # An InfrastructureError is the machine failing, not the arm:
+            # An infrastructure fault is the machine failing, not the arm:
             # caching it would permanently mark a feasible arm "failed".
-            # Leave it uncached so a re-sweep retries.
-            if record_failure and self.cacheable and not isinstance(e, InfrastructureError):
+            # Leave it uncached so a re-sweep retries. Matched by message
+            # too, not only type -- backend faults in the MAIN process
+            # (e.g. "Unable to initialize backend 'axon': UNAVAILABLE")
+            # arrive as plain RuntimeErrors.
+            if record_failure and self.cacheable and not is_infrastructure_error(e):
                 ws.store(uid, StepFailure(type(e).__name__, str(e)))
             raise
         finally:

@@ -16,6 +16,39 @@ class InfrastructureError(RuntimeError):
     ``/root/reference/experiments/training_time_empirical.py:93-130``.)"""
 
 
+# Message markers of transient backend faults. Shared by the probe-worker
+# output classifier (benchmarking/isolation.py) and the step cache: faults
+# matching these can also surface in the MAIN process (e.g. "Unable to
+# initialize backend 'axon': UNAVAILABLE" when another process holds the
+# tunnel) and must never be cached as arm failures there either.
+INFRA_MARKERS = (
+    "UNAVAILABLE:",
+    "ABORTED:",
+    "TPU device error",
+    "TPU backend error",
+    "DEADLINE_EXCEEDED",
+    "Socket closed",
+    "failed to connect",
+    "Connection reset",
+    "coordination service",
+    "Unable to initialize backend",
+)
+
+# Workload-failure markers that take precedence: an OOM is about the ARM
+# even when the runtime wraps it in backend-error text.
+_WORKLOAD_MARKERS = ("RESOURCE_EXHAUSTED", "Ran out of memory", "out of memory")
+
+
+def is_infrastructure_error(e: BaseException) -> bool:
+    """True when ``e`` is the machine failing rather than the workload."""
+    if isinstance(e, InfrastructureError):
+        return True
+    msg = str(e)
+    if any(m in msg for m in _WORKLOAD_MARKERS):
+        return False
+    return any(m in msg for m in INFRA_MARKERS)
+
+
 def block_on(tree) -> None:
     """Hard device sync: force completion of every program producing ``tree``.
 
@@ -82,4 +115,13 @@ def block_on(tree) -> None:
             pass
 
 
-__all__ = ["get_logger", "param_count", "param_bytes", "tree_flatten_with_paths", "block_on", "InfrastructureError"]
+__all__ = [
+    "get_logger",
+    "param_count",
+    "param_bytes",
+    "tree_flatten_with_paths",
+    "block_on",
+    "InfrastructureError",
+    "is_infrastructure_error",
+    "INFRA_MARKERS",
+]

@@ -100,6 +100,31 @@ def test_infrastructure_error_is_never_cached(fresh_workspace):
     assert bcall.is_cached()
     assert isinstance(bcall.result(), StepFailure)
 
+    # backend faults raised in the MAIN process arrive as plain
+    # RuntimeErrors (no InfrastructureError type) -- classified by message
+    @step(cacheable=True, version="001")
+    def init_fault(x):
+        raise RuntimeError(
+            "Unable to initialize backend 'axon': UNAVAILABLE: "
+            "TPU backend setup/compile error (Unavailable)."
+        )
+
+    icall = init_fault(x=1)
+    with pytest.raises(RuntimeError):
+        icall.result(record_failure=True)
+    assert not icall.is_cached()
+
+    # ...but an OOM wrapped in backend-error text is still the ARM failing
+    @step(cacheable=True, version="001")
+    def oom(x):
+        raise RuntimeError("XLA:TPU compile permanent error. Ran out of memory in memory space hbm.")
+
+    ocall = oom(x=1)
+    with pytest.raises(RuntimeError):
+        ocall.result(record_failure=True)
+    assert ocall.is_cached()
+    assert isinstance(ocall.result(), StepFailure)
+
 
 def test_single_chip_offload_arms_share_one_measurement():
     """On one chip zero_1/zero_2/fsdp_shard_grad_op(+offload) compile to the
