@@ -95,7 +95,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"{model_type} tokens/sec/chip (all-on-device bf16 state, SR params, flash-attn)",
+                "metric": f"{model_type} tokens/sec/chip (all-on-device bf16 state, SR params, save-dots remat)",
                 "value": round(tokens_per_sec_per_chip, 1),
                 "unit": "tokens/s/chip",
                 "vs_baseline": round(vs_baseline, 4) if vs_baseline else None,

@@ -152,6 +152,80 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, s
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
+def _bwd_fused_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dk_ref, dv_ref,
+    *, sm_scale, causal, block_q, q_seq, kv_seq,
+):
+    """Single-pass backward: dq, dk, dv from ONE score/probability tile.
+
+    The split dq/dkv kernels each recompute s and dp, costing 7 matmul
+    passes over the S x S tile space; computing all three grads per tile
+    needs only 5 (s, dp, dv, dk, dq). TPU Pallas grids execute
+    sequentially, so dq -- indexed by q block, which varies INSIDE the
+    program -- lives as a whole-sequence f32 output block whose index map
+    ignores the k-grid axis: the block stays resident in VMEM across all k
+    programs of one batch-head (revisiting), accumulating ds @ k
+    contributions, and flushes once when the bh index advances.
+    """
+    _, block_k, head_dim = k_ref.shape
+    ki = pl.program_id(1)
+    k_start = ki * block_k
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+
+    k_blk = k_ref[0]
+    v_blk = v_ref[0]
+    in_dtype = k_blk.dtype
+    # scale folds into k (scores only): q must stay unscaled for dk = ds^T @ q
+    # and dq = ds @ k (ds already carries sm_scale)
+    k_scaled = (k_blk.astype(jnp.float32) * sm_scale).astype(in_dtype)
+    k_idx = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    kv_keep = k_idx < kv_seq
+    num_qb = pl.cdiv(q_seq, block_q)
+
+    def body(qi, carry, masked):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(qi * block_q, block_q), :]
+        do = do_ref[0, pl.ds(qi * block_q, block_q), :]
+        lse = lse_ref[0, pl.ds(qi * block_q, block_q), 0]
+        delta = delta_ref[0, pl.ds(qi * block_q, block_q), 0]
+        s = jax.lax.dot_general(q, k_scaled, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
+        if masked:
+            q_idx = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            mask = jnp.logical_and(kv_keep, q_idx < q_seq)
+            if causal:
+                mask = jnp.logical_and(mask, q_idx >= k_idx)
+            s = jnp.where(mask, s, NEG_INF)
+        p = jnp.exp(s - lse[:, None])
+        dv = dv + jax.lax.dot_general(p.astype(in_dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
+        dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
+        ds = (p * (dp - delta[:, None]) * sm_scale).astype(in_dtype)
+        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
+        qs = pl.ds(qi * block_q, block_q)
+        dq_ref[0, qs, :] += jax.lax.dot(ds, k_blk, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
+        return dk, dv
+
+    # Loop split mirrors _bwd_dkv_kernel: diagonal-straddling q blocks take
+    # the causal mask, interior blocks skip mask work, the q-padding tail
+    # takes the bounds mask; a k block past kv_seq masks every iteration.
+    qb_start = k_start // block_q if causal else 0
+    diag_end = pl.cdiv(k_start + block_k, block_q) if causal else qb_start
+    diag_end = jnp.minimum(diag_end, num_qb)
+    kv_full = (k_start + block_k) <= kv_seq
+    full_hi = jnp.where(kv_full, jnp.maximum(diag_end, q_seq // block_q), diag_end)
+
+    dk = jnp.zeros((block_k, head_dim), jnp.float32)
+    dv = jnp.zeros((block_k, head_dim), jnp.float32)
+    carry = (dk, dv)
+    carry = jax.lax.fori_loop(qb_start, diag_end, functools.partial(body, masked=True), carry)
+    carry = jax.lax.fori_loop(diag_end, full_hi, functools.partial(body, masked=False), carry)
+    dk, dv = jax.lax.fori_loop(full_hi, num_qb, functools.partial(body, masked=True), carry)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, sm_scale, causal, block_q, q_seq, kv_seq):
     _, block_k, head_dim = k_ref.shape
     ki = pl.program_id(1)
@@ -257,19 +331,20 @@ def _flash_fwd_rule(q, k, v, causal, sm_scale, block_q, block_k):
     return out, (q, k, v, out, lse)
 
 
+def _fused_bwd_fits(q_pad, head_dim, block_q, block_k) -> bool:
+    """Scoped-VMEM budget for the fused kernel: whole-sequence q/do (input
+    dtype) + f32 dq output + the per-tile score/probability/accumulator
+    working set must stay under the ~16 MB scoped limit."""
+    whole_rows = q_pad * head_dim * (2 + 2 + 4)  # q bf16 + do bf16 + dq f32
+    tiles = block_q * block_k * 4 * 3  # s, p, dp f32
+    tiles += block_k * head_dim * (2 * 2 + 2 * 4)  # k, v bf16 + dk, dv f32 acc
+    return whole_rows + tiles <= 12 * 2**20
+
+
 def _flash_bwd_rule(causal, sm_scale, block_q, block_k, res, g):
     q, k, v, out, lse = res
     bh, q_seq, head_dim = q.shape
     kv_seq = k.shape[1]
-    # The dk/dv kernel keeps the whole (padded) q and do resident in VMEM on
-    # top of its score/probability tiles; at large head dims that sum crosses
-    # the 16 MB scoped-VMEM limit, so its inner q block AND its k block both
-    # shrink (halving keeps them divisors of the block-aligned padding; at
-    # head_dim 256 -- pythia-1b's 8-head layout -- the k/v tiles, f32
-    # accumulators, and score tiles otherwise overflow by ~0.5 MB).
-    big_head = head_dim > 128
-    block_q_dkv = block_q // 2 if (big_head and block_q >= 256) else block_q
-    block_k_dkv = block_k // 2 if (big_head and block_k >= 256) else block_k
 
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # [BH, Sq]
 
@@ -278,6 +353,43 @@ def _flash_bwd_rule(causal, sm_scale, block_q, block_k, res, g):
     deltap = jnp.broadcast_to(_pad_to(delta, 1, block_q)[..., None], lsep.shape)
     kp, vp = _pad_to(k, 1, block_k), _pad_to(v, 1, block_k)
     q_pad, kv_pad = qp.shape[1], kp.shape[1]
+
+    if _fused_bwd_fits(q_pad, head_dim, block_q, block_k):
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_bwd_fused_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q, q_seq=q_seq, kv_seq=kv_seq),
+            grid=(bh, kv_pad // block_k),
+            in_specs=[
+                pl.BlockSpec((1, q_pad, head_dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, head_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, head_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, q_pad, head_dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, q_pad, LANES), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, q_pad, LANES), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                # dq's index map ignores the k axis: revisited (VMEM-resident,
+                # accumulating) across every k program of one batch-head
+                pl.BlockSpec((1, q_pad, head_dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, head_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, head_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, q_pad, head_dim), jnp.float32),
+                jax.ShapeDtypeStruct((bh, kv_pad, head_dim), k.dtype),
+                jax.ShapeDtypeStruct((bh, kv_pad, head_dim), v.dtype),
+            ],
+            interpret=_interpret(),
+        )(qp, kp, vp, dop, lsep, deltap)
+        return dq[:, :q_seq].astype(q.dtype), dk[:, :kv_seq], dv[:, :kv_seq]
+
+    # Split-kernel fallback (shapes whose whole-sequence residency exceeds
+    # scoped VMEM). The dk/dv kernel keeps the whole (padded) q and do
+    # resident in VMEM on top of its score/probability tiles; at large head
+    # dims that sum crosses the 16 MB scoped-VMEM limit, so its inner q
+    # block AND its k block both shrink.
+    big_head = head_dim > 128
+    block_q_dkv = block_q // 2 if (big_head and block_q >= 256) else block_q
+    block_k_dkv = block_k // 2 if (big_head and block_k >= 256) else block_k
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, causal=causal, block_k=block_k, kv_seq=kv_seq),

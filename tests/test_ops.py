@@ -62,6 +62,28 @@ def test_flash_multiblock_grads_match_naive(causal, head_dim, block_q, block_k):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_split_bwd_fallback_matches_naive(causal, monkeypatch):
+    """Shapes past the fused kernel's VMEM budget fall back to the split
+    dq/dkv kernels; pin the gate closed so the fallback stays covered."""
+    from multimodal_llm_pretraining_tpu.ops import flash_attention as fa
+
+    monkeypatch.setattr(fa, "_fused_bwd_fits", lambda *a: False)
+    q, k, v = (_rand((1, 2, 200, 64), s) for s in range(3))
+
+    def f_flash(q, k, v):
+        return (fa.flash_attention(q, k, v, causal=causal, block_q=64, block_k=64) ** 2).sum()
+
+    def f_ref(q, k, v):
+        return (dot_product_attention(q, k, v, causal=causal, impl="naive") ** 2).sum()
+
+    with jax.default_matmul_precision("highest"):
+        g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
 def test_flash_cross_attention():
     q = _rand((2, 2, 300, 64), 0)
     k = _rand((2, 2, 150, 64), 1)
