@@ -7,10 +7,11 @@ SPMD needs exactly one process per TPU host, all running the same program:
 when they're present (multi-host), then simply calls the function -- every
 host computes the same result, rank 0's is returned by convention.
 
-Launching the processes themselves is the cluster's job: SLURM ``srun``
-(``slurm.py``) or ``gcloud compute tpus tpu-vm ssh --worker=all`` running
-the identical command; there is no in-band SSH fan-out like torchrunx
-because TPU-VM tooling already provides it.
+Launching the processes themselves is normally the cluster's job: SLURM
+``srun`` (``slurm.py``) or ``gcloud compute tpus tpu-vm ssh --worker=all``
+running the identical command. For bare hosts without a scheduler,
+``launcher.Launcher`` (``scripts/launch.py``) provides the in-band SSH
+fan-out itself -- the torchrunx analog.
 """
 
 import os
