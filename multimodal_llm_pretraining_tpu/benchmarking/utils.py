@@ -87,14 +87,41 @@ class BenchmarkHarness:
     def _jitted_cleanup(self) -> None:
         self.session._jitted.clear()
 
+    def analytic_floor_bytes(self) -> int:
+        """Per-device HBM bytes resident at ANY micro-batch size: live params
+        (unless host-offloaded), gradient accumulators, and persistent
+        optimizer state. Pure eval_shape -- no compile, no execution."""
+        from ..parallel.sharding import host_offload_supported, shard_bytes_per_device
+
+        floor = self.persistent_state_bytes()
+        floor += shard_bytes_per_device(self.session.grad_shapes, self.session.mesh, self.session.policy.grads)
+        if not (self.session.policy.offload_params and host_offload_supported()):
+            floor += shard_bytes_per_device(self.session.param_shapes, self.session.mesh, self.session.policy.params)
+        return floor
+
     def fits(self, micro_batch_size: int, hbm_budget_bytes: int | None = None, safety: float = 0.94) -> bool:
         """Static fit check: AOT-compile the accumulate step for this mbs.
 
-        Two gates, neither of which executes anything:
+        Three gates, none of which executes anything:
+        0. analytic state floor (params + grad accumulators + optimizer
+           state, eval_shape only) against the budget -- arms whose state
+           alone oversubscribes HBM (e.g. mamba-2.8b on one 16 GB chip)
+           are rejected without paying a multi-minute remote AOT compile;
         1. XLA's own compile-time HBM verification (raises on oversize);
         2. memory_analysis + persistent state (optimizer buffers) against
            ``safety *`` the HBM budget -- covers what gate 1 cannot see.
         """
+        if hbm_budget_bytes is None:
+            from ..tpus import device_hbm_bytes
+
+            hbm_budget_bytes = device_hbm_bytes()
+        floor = self.analytic_floor_bytes()
+        if floor > int(hbm_budget_bytes * safety):
+            logger.info(
+                f"mbs={micro_batch_size}: analytic state floor {floor / 2**30:.2f} GiB "
+                f"exceeds budget {hbm_budget_bytes * safety / 2**30:.2f} GiB (no compile needed)"
+            )
+            return False
         try:
             compiled = self._compile_acc(micro_batch_size)
         except Exception as e:
@@ -102,10 +129,6 @@ class BenchmarkHarness:
                 logger.info(f"mbs={micro_batch_size}: compile-time OOM")
                 return False
             raise
-        if hbm_budget_bytes is None:
-            from ..tpus import device_hbm_bytes
-
-            hbm_budget_bytes = device_hbm_bytes()
         usage = self.predicted_bytes(compiled)
         if usage is not None:
             required = usage + self.persistent_state_bytes()

@@ -52,10 +52,41 @@ def state_bytes():
     }
 
 
-def probe():
-    from scripts.benchmark import run_benchmark
+# The two MINIMAL-device-residency arms of the method grid. Every other arm
+# holds at least as much on the chip:
+# - flash-remat + bf16_sr: least activation memory (flash policy) and least
+#   state (bf16 params/moments, no master) of any NON-OFFLOAD arm -- dots
+#   saves more residuals, bf16_master/f32 layouts hold strictly more state.
+# - flash-remat + zero_3 + offload: params AND optimizer state live in
+#   pinned host memory -- the least device residency of any OFFLOAD arm
+#   (zero_1/zero_2/fsdp_shard_grad_op keep the params on the chip).
+# If both fail their max-batch probe at mbs 1, every arm in the grid fails.
+DOMINATING_ARMS = [
+    dict(activation_checkpointing=True, checkpoint_policy="flash", sharding="", offloading=False, state_layout="bf16_sr"),
+    dict(activation_checkpointing=True, checkpoint_policy="flash", sharding="zero_3", offloading=True, state_layout=""),
+]
 
-    run_benchmark(1, 1, "v5e", "mamba", methods="all", cmd="run")
+
+def probe(full: bool = False):
+    """Run the single-chip max-batch probes on the TPU.
+
+    Default: the two dominating arms (above). ``--probe-full`` runs the
+    whole 24-arm method grid instead (hours of remote 64-layer compiles)."""
+    if full:
+        from scripts.benchmark import run_benchmark
+
+        run_benchmark(1, 1, "v5e", "mamba", methods="all", cmd="run")
+        return
+    from multimodal_llm_pretraining_tpu.experiments.config import TrainingConfig
+    from multimodal_llm_pretraining_tpu.experiments.training_time_empirical import TrainingTimeEmpirical
+
+    for arm in DOMINATING_ARMS:
+        cfg = TrainingConfig(num_hosts=1, chips_per_host=1, tpu_type="v5e", model="mamba",
+                             free_lunch=True, **arm)
+        exp = TrainingTimeEmpirical(config=cfg)
+        print(f"--- probing dominating arm: {arm}")
+        exp.run(record_failures=True)
+        print({k: str(v)[:120] for k, v in exp.results().items()})
 
 
 def write_csv():
@@ -82,16 +113,29 @@ def write_csv():
     raw = sweep.results()
     if raw.empty:
         raise SystemExit("no cached mamba results; run --probe first (needs the TPU)")
+    import pandas as pd
+
     from scripts.plotting import method_label
 
     raw["method"] = raw.apply(method_label, axis=1)
+
+    def status(row):
+        if row.get("max_micro_batch_size") is not None and not pd.isna(row.get("max_micro_batch_size")):
+            mbs = int(row["max_micro_batch_size"])
+            if mbs == 0 or pd.isna(row.get("training_days")):
+                return "infeasible (probed: no micro-batch fits)"
+            return "feasible (probed)"
+        dom = "flash+bf16_sr" if not row.get("offloading") else "flash+zero_3+offload"
+        return f"infeasible (dominated: holds >= device memory of probed arm {dom})"
+
+    raw["status"] = raw.apply(status, axis=1)
     raw.to_csv("artifacts/mamba_v5e_search.csv", index=False)
-    feasible = raw[raw["training_days"].notna()] if "training_days" in raw.columns else raw.iloc[0:0]
+    feasible = raw[raw["status"].str.startswith("feasible")]
     print(f"wrote artifacts/mamba_v5e_search.csv: {len(raw)} arms, {len(feasible)} feasible")
     return df
 
 
-def dryrun(n_devices: int):
+def dryrun(n_devices: int, n_layers: int = 8):
     import os
 
     os.environ.setdefault("XLA_FLAGS", f"--xla_force_host_platform_device_count={n_devices}")
@@ -101,9 +145,18 @@ def dryrun(n_devices: int):
         raise SystemExit("run the dryrun on the CPU mesh (JAX_PLATFORMS=cpu)")
 
     from multimodal_llm_pretraining_tpu.models import get_model_class
+    from multimodal_llm_pretraining_tpu.models import mamba as mamba_mod
     from multimodal_llm_pretraining_tpu.parallel.mesh import MeshConfig
     from multimodal_llm_pretraining_tpu.train import TrainingPlan
 
+    # Execute at truncated depth: the stack is a lax.scan over identical
+    # blocks, so the SHARDED PROGRAM is invariant to the trip count -- only
+    # the stacked-parameter leading dim changes. Full 64-layer execution on
+    # a 1-core CI host starves XLA's CPU-collective rendezvous (hardcoded
+    # 40 s termination: 8 device threads timeshare one core and the slowest
+    # misses the barrier), while the truncated run finishes in minutes.
+    # Full-size state accounting below uses eval_shape (no execution).
+    mamba_mod.N_LAYER = n_layers
     mc = get_model_class("mamba")
     plan = TrainingPlan(
         num_training_steps=4,
@@ -131,6 +184,7 @@ def dryrun(n_devices: int):
     loss = float(metrics["loss"])
     assert np.isfinite(loss), loss
 
+    mamba_mod.N_LAYER = 64  # restore: accounting below is at FULL size
     n_params, layouts = state_bytes()
     seq = mc.sequence_length
     # selective-scan residuals at mbs 1 under save-dots-style remat: per
@@ -155,6 +209,9 @@ def dryrun(n_devices: int):
             "backend": "cpu-mesh",
             "loss": loss,
             "mesh": {k: int(v) for k, v in sess.mesh.shape.items()},
+            # scan trip count truncated for the 1-core CI host; the sharded
+            # program (shardings, collectives, scan body) is depth-invariant
+            "n_layers_executed": n_layers,
         },
         "per_chip_state_gib": {str(n): round(layouts["bf16_sr_state_bytes"] / n / 2**30, 2) for n in (1, 4, 8, 16)},
         "verdict": (
@@ -174,17 +231,18 @@ def dryrun(n_devices: int):
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
-    ap.add_argument("--probe", action="store_true", help="run the single-chip sweep (TPU)")
+    ap.add_argument("--probe", action="store_true", help="probe the two dominating arms (TPU)")
+    ap.add_argument("--probe-full", action="store_true", help="probe the whole 24-arm grid (TPU, hours)")
     ap.add_argument("--write", action="store_true", help="export cached sweep results to CSV")
     ap.add_argument("--dryrun", type=int, default=0, metavar="N", help="CPU-mesh sharded dryrun over N devices")
     a = ap.parse_args()
-    if a.probe:
-        probe()
+    if a.probe or a.probe_full:
+        probe(full=a.probe_full)
     if a.write:
         write_csv()
     if a.dryrun:
         dryrun(a.dryrun)
-    if not (a.probe or a.write or a.dryrun):
+    if not (a.probe or a.probe_full or a.write or a.dryrun):
         ap.print_help()
 
 
