@@ -110,7 +110,7 @@ def test_probe_worker_end_to_end():
             "micro_batch_size": 1,
             "dataset_overrides": {"sequence_length": 17},
         },
-        timeout=420,
+        timeout=900,  # 1-core CI host under concurrent suites needs headroom
     )
     assert result.get("ok") is True
 
@@ -127,7 +127,7 @@ def test_probe_worker_confirm_fused_end_to_end():
             "micro_batch_size": 1,
             "dataset_overrides": {"sequence_length": 17},
         },
-        timeout=420,
+        timeout=900,  # 1-core CI host under concurrent suites needs headroom
     )
     assert result.get("ok") is True
 
@@ -145,7 +145,7 @@ def test_probe_worker_time_fused_end_to_end():
             "samples": 1,
             "dataset_overrides": {"sequence_length": 17},
         },
-        timeout=420,
+        timeout=900,  # 1-core CI host under concurrent suites needs headroom
     )
     assert result.get("ok") is True
     assert result["step_time_fused"] > 0
