@@ -23,7 +23,6 @@ from __future__ import annotations
 import os
 import shlex
 import subprocess
-import sys
 import threading
 import time
 from dataclasses import dataclass, field
@@ -106,6 +105,7 @@ class Launcher:
         ``LaunchError`` when any worker fails (after terminating the rest)
         or ``TimeoutError`` past ``timeout_s``.
         """
+        logger.info(f"launching {shlex.join(argv)} on {len(self.hosts)} host(s); coordinator {self._coordinator_address()}")
         procs = [self._spawn(i, h, argv) for i, h in enumerate(self.hosts)]
         streams = [self._start_streamer(i, h, p) for i, (h, p) in enumerate(zip(self.hosts, procs))]
         deadline = time.monotonic() + timeout_s if timeout_s else None
