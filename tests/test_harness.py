@@ -103,6 +103,35 @@ def test_trainer_runs_and_resumes(tmp_path):
     assert int(trainer3.final_state.step) == 1  # fresh counter, not 4 + 1
 
 
+def test_trainer_profiler_trace(tmp_path):
+    """profile_dir writes a jax.profiler trace of steps 2-4 (aux subsystem
+    5.1): the trace directory must exist and be non-empty after training."""
+    import os
+
+    from multimodal_llm_pretraining_tpu.training.trainer import Trainer
+
+    mc = get_model_class("pythia-14m")
+    plan = TrainingPlan(
+        num_training_steps=4,
+        micro_batch_size=1,
+        gradient_accumulation_steps=1,
+        optimizer=mc.optimizer,
+        optimizer_kwargs=mc.optimizer_kwargs,
+        scheduler_type=mc.scheduler_type,
+        scheduler_kwargs=mc.scheduler_kwargs,
+        max_grad_norm=mc.max_grad_norm,
+        use_custom_kernels=False,
+        mesh=MeshConfig(num_hosts=1, chips_per_host=8),
+    )
+    sess = plan.build_session(mc)
+    sess.dataset.sequence_length = 17
+    prof = str(tmp_path / "trace")
+    trainer = Trainer(sess, output_dir=str(tmp_path / "ckpt"), save_steps=100, log_steps=1, profile_dir=prof)
+    trainer.train(max_steps=4)
+    entries = [os.path.join(dp, f) for dp, _, fs in os.walk(prof) for f in fs]
+    assert entries, "profiler trace directory is empty"
+
+
 def test_trainer_resumes_bf16_sr_state_layout(tmp_path):
     """Checkpoint/resume under the headline all-bf16 state recipe (SR
     params, bf16 Adam moments, no master): orbax must round-trip the
