@@ -89,12 +89,34 @@ def probe(full: bool = False):
         print({k: str(v)[:120] for k, v in exp.results().items()})
 
 
-def write_csv():
-    from scripts.plotting import load_results
+def _arm_floor_gib(config) -> float:
+    """Per-arm device-resident state floor (GiB) on ONE chip under the
+    PRODUCTION offload rules: MLPT_FAKE_HOST_OFFLOAD makes
+    ``host_offload_supported()`` true off-TPU so the session applies the
+    same dtype/placement layout the chip would, and the floor is exactly
+    what the fit table's analytic gate (``BenchmarkHarness.
+    analytic_floor_bytes``) computes before any compile."""
+    import os
 
-    df = load_results(1, 1, "v5e", "mamba")
-    # keep failures: load_results drops null training_days, so re-query raw
+    from multimodal_llm_pretraining_tpu.benchmarking.utils import BenchmarkHarness
+
+    os.environ["MLPT_FAKE_HOST_OFFLOAD"] = "1"
+    try:
+        plan = config.training_plan(num_training_steps=1, micro_batch_size=1, gradient_accumulation_steps=1)
+        harness = BenchmarkHarness(plan, config.model_class())
+        return harness.analytic_floor_bytes() / 2**30
+    finally:
+        del os.environ["MLPT_FAKE_HOST_OFFLOAD"]
+
+
+def write_csv(floors: bool = True):
+    """Export the full method grid with per-arm status: probed results where
+    cached, the analytic state floor everywhere (the same number the fit
+    table's gate uses), and the dominance argument for un-probed arms."""
+    import pandas as pd
+
     from multimodal_llm_pretraining_tpu.experiments.sweeps import TrainingTimeEmpiricalSweep
+    from scripts.plotting import method_label
 
     sweep = TrainingTimeEmpiricalSweep(
         search_space=dict(
@@ -110,29 +132,35 @@ def write_csv():
             state_layout=["", "bf16_master", "bf16_sr"],
         )
     )
-    raw = sweep.results()
-    if raw.empty:
-        raise SystemExit("no cached mamba results; run --probe first (needs the TPU)")
-    import pandas as pd
+    budget_gib = 15.75 * 0.94  # fit-table safety margin (utils.fits)
+    rows = []
+    for exp in sweep.experiments():
+        cfg = exp.config
+        row = {k: v for k, v in cfg.__dict__.items() if k not in ("num_hosts", "chips_per_host", "tpu_type", "model")}
+        row["method"] = method_label(pd.Series(cfg.__dict__))
+        row.update({k: None for k in ("max_micro_batch_size", "training_days")})
+        if exp.is_cached():
+            res = exp.results()
+            for k in ("max_micro_batch_size", "training_days"):
+                v = res.get(k)
+                row[k] = None if v is None or str(v).startswith("StepFailure") else v
+        floor = _arm_floor_gib(cfg) if floors else None
+        row["analytic_floor_gib"] = round(floor, 2) if floor is not None else None
+        mbs = row["max_micro_batch_size"]
+        if mbs is not None:
+            row["status"] = "feasible (probed)" if (int(mbs) > 0 and row["training_days"] is not None) else "infeasible (probed: no micro-batch fits)"
+        elif floor is not None and floor > budget_gib:
+            row["status"] = f"infeasible (analytic state floor {floor:.1f} GiB > {budget_gib:.1f} GiB fit budget)"
+        else:
+            dom = "flash+zero_3+offload" if cfg.offloading else "flash+bf16_sr"
+            row["status"] = f"infeasible (dominated: holds >= device memory of probed arm {dom})"
+        rows.append(row)
 
-    from scripts.plotting import method_label
-
-    raw["method"] = raw.apply(method_label, axis=1)
-
-    def status(row):
-        if row.get("max_micro_batch_size") is not None and not pd.isna(row.get("max_micro_batch_size")):
-            mbs = int(row["max_micro_batch_size"])
-            if mbs == 0 or pd.isna(row.get("training_days")):
-                return "infeasible (probed: no micro-batch fits)"
-            return "feasible (probed)"
-        dom = "flash+bf16_sr" if not row.get("offloading") else "flash+zero_3+offload"
-        return f"infeasible (dominated: holds >= device memory of probed arm {dom})"
-
-    raw["status"] = raw.apply(status, axis=1)
+    raw = pd.DataFrame(rows)
     raw.to_csv("artifacts/mamba_v5e_search.csv", index=False)
     feasible = raw[raw["status"].str.startswith("feasible")]
     print(f"wrote artifacts/mamba_v5e_search.csv: {len(raw)} arms, {len(feasible)} feasible")
-    return df
+    return raw
 
 
 def dryrun(n_devices: int, n_layers: int = 8):
