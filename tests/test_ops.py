@@ -94,6 +94,27 @@ def test_flash_cross_attention():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_flash_cross_attention_grads_match_naive():
+    """Rectangular q/kv (ViT-text cross shapes): the fused backward's
+    bounds-mask loop split must handle kv_seq != q_seq with non-aligned
+    tails."""
+    q = _rand((1, 2, 300, 64), 0)
+    k = _rand((1, 2, 150, 64), 1)
+    v = _rand((1, 2, 150, 64), 2)
+
+    def f_flash(q, k, v):
+        return (flash_attention(q, k, v, block_q=128, block_k=128) ** 2).sum()
+
+    def f_ref(q, k, v):
+        return (dot_product_attention(q, k, v, impl="naive") ** 2).sum()
+
+    with jax.default_matmul_precision("highest"):
+        g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
 def test_xla_impl_with_padding_mask():
     q, k, v = (_rand((2, 2, 64, 32), s) for s in range(3))
     mask = jnp.asarray(np.concatenate([np.ones((2, 40)), np.zeros((2, 24))], axis=1))
