@@ -331,14 +331,44 @@ def _flash_fwd_rule(q, k, v, causal, sm_scale, block_q, block_k):
     return out, (q, k, v, out, lse)
 
 
-def _fused_bwd_fits(q_pad, head_dim, block_q, block_k) -> bool:
-    """Scoped-VMEM budget for the fused kernel: whole-sequence q/do (input
-    dtype) + f32 dq output + the per-tile score/probability/accumulator
-    working set must stay under the ~16 MB scoped limit."""
+# Mosaic's default scoped-VMEM budget is 16 MiB, but the physical VMEM on
+# current chips is far larger (probed >=60 MiB usable on v5e); kernels whose
+# working set exceeds the default ask for more via
+# CompilerParams(vmem_limit_bytes=...). Staying well under physical capacity
+# keeps headroom for the pipeline's input/output double buffers.
+VMEM_CAP = 56 * 2**20
+
+
+def _fused_bwd_est(q_pad, head_dim, block_q, block_k) -> int:
+    """Analytic lower bound on the fused kernel's VMEM working set:
+    whole-sequence q/do (input dtype) + f32 dq output + per-tile
+    score/probability/accumulator buffers. Mosaic's true stack is larger
+    (mask iotas, exp temporaries, double-buffered windows, lane-padded
+    [.,8] stat blocks): measured x1.86-2.33 over this estimate at
+    pythia-1b shapes, hence the x2.5 sizing margin in `_fused_bwd_plan`."""
     whole_rows = q_pad * head_dim * (2 + 2 + 4)  # q bf16 + do bf16 + dq f32
     tiles = block_q * block_k * 4 * 3  # s, p, dp f32
     tiles += block_k * head_dim * (2 * 2 + 2 * 4)  # k, v bf16 + dk, dv f32 acc
-    return whole_rows + tiles <= 12 * 2**20
+    return whole_rows + tiles
+
+
+def _fused_bwd_plan(q_seq, head_dim, block_q, block_k):
+    """(block_q, block_k, vmem_limit_bytes) for the fused backward, or None
+    when even shrunken blocks would blow past ``VMEM_CAP`` (-> split
+    kernels). Shrinks block_k first: the whole-sequence q/do/dq residency is
+    paid either way, while the k/v/dk/dv tile cost scales with block_k."""
+    bq, bk = block_q, block_k
+    while True:
+        q_pad = q_seq + ((-q_seq) % bq)
+        need = int(2.5 * _fused_bwd_est(q_pad, head_dim, bq, bk))
+        if need <= VMEM_CAP:
+            return bq, bk, max(need, 16 * 2**20)
+        if bk > 128:
+            bk //= 2
+        elif bq > 128:
+            bq //= 2
+        else:
+            return None
 
 
 def _flash_bwd_rule(causal, sm_scale, block_q, block_k, res, g):
@@ -348,13 +378,17 @@ def _flash_bwd_rule(causal, sm_scale, block_q, block_k, res, g):
 
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # [BH, Sq]
 
+    fused_plan = _fused_bwd_plan(q_seq, head_dim, block_q, block_k)
+    if fused_plan is not None:
+        block_q, block_k, vmem_limit = fused_plan
+
     qp, dop = _pad_to(q, 1, block_q), _pad_to(g, 1, block_q)
     lsep = jnp.broadcast_to(_pad_to(lse, 1, block_q)[..., None], (bh, _pad_to(lse, 1, block_q).shape[1], LANES))
     deltap = jnp.broadcast_to(_pad_to(delta, 1, block_q)[..., None], lsep.shape)
     kp, vp = _pad_to(k, 1, block_k), _pad_to(v, 1, block_k)
     q_pad, kv_pad = qp.shape[1], kp.shape[1]
 
-    if _fused_bwd_fits(q_pad, head_dim, block_q, block_k):
+    if fused_plan is not None:
         dq, dk, dv = pl.pallas_call(
             functools.partial(_bwd_fused_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q, q_seq=q_seq, kv_seq=kv_seq),
             grid=(bh, kv_pad // block_k),
@@ -378,6 +412,7 @@ def _flash_bwd_rule(causal, sm_scale, block_q, block_k, res, g):
                 jax.ShapeDtypeStruct((bh, kv_pad, head_dim), k.dtype),
                 jax.ShapeDtypeStruct((bh, kv_pad, head_dim), v.dtype),
             ],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
             interpret=_interpret(),
         )(qp, kp, vp, dop, lsep, deltap)
         return dq[:, :q_seq].astype(q.dtype), dk[:, :kv_seq], dv[:, :kv_seq]
@@ -404,6 +439,7 @@ def _flash_bwd_rule(causal, sm_scale, block_q, block_k, res, g):
         ],
         out_specs=pl.BlockSpec((1, block_q, head_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, q_pad, head_dim), q.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_CAP),
         interpret=_interpret(),
     )(qp, kp, vp, dop, lsep, deltap)[:, :q_seq]
 
@@ -426,6 +462,7 @@ def _flash_bwd_rule(causal, sm_scale, block_q, block_k, res, g):
             jax.ShapeDtypeStruct((bh, kv_pad, head_dim), k.dtype),
             jax.ShapeDtypeStruct((bh, kv_pad, head_dim), v.dtype),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_CAP),
         interpret=_interpret(),
     )(qp, kp, vp, dop, lsep, deltap)
     return dq, dk[:, :kv_seq], dv[:, :kv_seq]

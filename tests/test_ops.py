@@ -68,7 +68,7 @@ def test_flash_split_bwd_fallback_matches_naive(causal, monkeypatch):
     dq/dkv kernels; pin the gate closed so the fallback stays covered."""
     from multimodal_llm_pretraining_tpu.ops import flash_attention as fa
 
-    monkeypatch.setattr(fa, "_fused_bwd_fits", lambda *a: False)
+    monkeypatch.setattr(fa, "_fused_bwd_plan", lambda *a: None)
     q, k, v = (_rand((1, 2, 200, 64), s) for s in range(3))
 
     def f_flash(q, k, v):
@@ -121,3 +121,48 @@ def test_xla_impl_with_padding_mask():
     out = dot_product_attention(q, k, v, mask=mask, impl="xla")
     ref = dot_product_attention(q, k, v, mask=mask, impl="naive")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_fused_bwd_plan():
+    """VMEM planning for the fused backward: full 512x512 blocks for every
+    model-zoo shape, with a raised vmem limit at pythia-1b scale (Mosaic
+    measured 18.54M actual vs the 16M default scoped budget); only absurd
+    shapes shrink blocks or fall to the split kernels."""
+    from multimodal_llm_pretraining_tpu.ops.flash_attention import VMEM_CAP, _fused_bwd_plan
+
+    for head_dim in (64, 128, 256):  # pythia-410m / llama / pythia-1b
+        plan = _fused_bwd_plan(2049, head_dim, 512, 512)
+        assert plan is not None
+        bq, bk, limit = plan
+        assert (bq, bk) == (512, 512)
+        assert 16 * 2**20 <= limit <= VMEM_CAP
+    # pythia-1b shapes need more than the 16 MiB default
+    assert _fused_bwd_plan(2049, 256, 512, 512)[2] > 18 * 2**20
+    # huge head dim at long seq: shrinks blocks before giving up
+    plan = _fused_bwd_plan(8192, 512, 512, 512)
+    assert plan is None or plan[:2] != (512, 512)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_shrunken_fused_grads_match_naive(causal, monkeypatch):
+    """Force the adaptive path to pick a smaller fused config than requested
+    and check grads stay exact (the shrunken blocks change the loop splits)."""
+    from multimodal_llm_pretraining_tpu.ops import flash_attention as fa
+
+    real_plan = fa._fused_bwd_plan
+    monkeypatch.setattr(
+        fa, "_fused_bwd_plan", lambda qs, d, bq, bk: real_plan(qs, d, min(bq, 256), min(bk, 256))
+    )
+    q, k, v = (_rand((1, 1, 600, 256), s) for s in range(3))
+
+    def f_flash(q, k, v):
+        return (fa.flash_attention(q, k, v, causal=causal, block_q=512, block_k=512) ** 2).sum()
+
+    def f_ref(q, k, v):
+        return (dot_product_attention(q, k, v, causal=causal, impl="naive") ** 2).sum()
+
+    with jax.default_matmul_precision("highest"):
+        g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
