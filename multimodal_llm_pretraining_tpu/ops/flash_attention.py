@@ -13,6 +13,7 @@ masks fall back to the XLA path (see ``ops/attention.py``).
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -338,6 +339,19 @@ def _flash_fwd_rule(q, k, v, causal, sm_scale, block_q, block_k):
 # keeps headroom for the pipeline's input/output double buffers.
 VMEM_CAP = 56 * 2**20
 
+# Gate between the fused single-pass backward (dq+dk+dv from one score
+# tile, 5 matmul passes vs the split kernels' 7) and the split dq/dkv
+# kernels. The two rank DIFFERENTLY in isolation vs in a training step on
+# v5e (2026-08-18, quiet host): standalone attention-only loops favor
+# split at every head_dim (fwd+bwd ms/call, split vs fused: D=64 7.18 vs
+# 9.47, D=128 5.77 vs 6.72, D=256 5.88 vs 6.46), but inside the pythia-1b
+# production step the fused kernel wins ~3.7% end-to-end (acc=4 full step
+# 1.96 s vs 2.03 s) -- in-context, the grads pass is HBM-bound and the
+# fused kernel's single pass over q/do beats the split kernels' re-reads.
+# Default ON (the training-step ranking is the one that matters);
+# MLPT_FLASH_FUSED_BWD=0 opts out.
+PREFER_FUSED_BWD = os.environ.get("MLPT_FLASH_FUSED_BWD", "1") != "0"
+
 
 def _fused_bwd_est(q_pad, head_dim, block_q, block_k) -> int:
     """Analytic lower bound on the fused kernel's VMEM working set:
@@ -378,7 +392,7 @@ def _flash_bwd_rule(causal, sm_scale, block_q, block_k, res, g):
 
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # [BH, Sq]
 
-    fused_plan = _fused_bwd_plan(q_seq, head_dim, block_q, block_k)
+    fused_plan = _fused_bwd_plan(q_seq, head_dim, block_q, block_k) if PREFER_FUSED_BWD else None
     if fused_plan is not None:
         block_q, block_k, vmem_limit = fused_plan
 

@@ -63,12 +63,13 @@ def test_flash_multiblock_grads_match_naive(causal, head_dim, block_q, block_k):
 
 
 @pytest.mark.parametrize("causal", [False, True])
-def test_flash_split_bwd_fallback_matches_naive(causal, monkeypatch):
-    """Shapes past the fused kernel's VMEM budget fall back to the split
-    dq/dkv kernels; pin the gate closed so the fallback stays covered."""
+@pytest.mark.parametrize("fused", [False, True])
+def test_flash_bwd_both_paths_match_naive(causal, fused, monkeypatch):
+    """Pin the backward gate each way (fused single-pass vs split dq/dkv)
+    so both kernels stay covered whatever PREFER_FUSED_BWD defaults to."""
     from multimodal_llm_pretraining_tpu.ops import flash_attention as fa
 
-    monkeypatch.setattr(fa, "_fused_bwd_plan", lambda *a: None)
+    monkeypatch.setattr(fa, "PREFER_FUSED_BWD", fused)
     q, k, v = (_rand((1, 2, 200, 64), s) for s in range(3))
 
     def f_flash(q, k, v):
@@ -94,10 +95,14 @@ def test_flash_cross_attention():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
-def test_flash_cross_attention_grads_match_naive():
-    """Rectangular q/kv (ViT-text cross shapes): the fused backward's
-    bounds-mask loop split must handle kv_seq != q_seq with non-aligned
+@pytest.mark.parametrize("fused", [False, True])
+def test_flash_cross_attention_grads_match_naive(fused, monkeypatch):
+    """Rectangular q/kv (ViT-text cross shapes): both backward paths'
+    bounds-mask loop splits must handle kv_seq != q_seq with non-aligned
     tails."""
+    from multimodal_llm_pretraining_tpu.ops import flash_attention as fa
+
+    monkeypatch.setattr(fa, "PREFER_FUSED_BWD", fused)
     q = _rand((1, 2, 300, 64), 0)
     k = _rand((1, 2, 150, 64), 1)
     v = _rand((1, 2, 150, 64), 2)
@@ -149,6 +154,7 @@ def test_flash_shrunken_fused_grads_match_naive(causal, monkeypatch):
     and check grads stay exact (the shrunken blocks change the loop splits)."""
     from multimodal_llm_pretraining_tpu.ops import flash_attention as fa
 
+    monkeypatch.setattr(fa, "PREFER_FUSED_BWD", True)
     real_plan = fa._fused_bwd_plan
     monkeypatch.setattr(
         fa, "_fused_bwd_plan", lambda qs, d, bq, bk: real_plan(qs, d, min(bq, 256), min(bk, 256))
