@@ -53,6 +53,7 @@ def main():
         grad_accum_dtype="bf16",
         opt_state_dtype="bf16",
         master_weights="sr",
+        unroll_layers=True,
         max_grad_norm=mc.max_grad_norm,
         mesh=MeshConfig(num_hosts=1, chips_per_host=n_chips),
     )
