@@ -21,6 +21,7 @@ TPU/XLA makes possible and what this runtime makes necessary:
   lowering error is deterministic, so exactly one retry).
 """
 
+import inspect
 import math
 from dataclasses import asdict, dataclass
 from typing import Any, TypedDict
@@ -281,6 +282,17 @@ class TrainingTimeEmpirical(Experiment):
                     self.model_cls.mixed_precision != "bf16"
                     or not self.config.free_lunch
                     or self.config.offloading
+                ),
+                # layer-stack unrolling is a real arm only for models whose
+                # trunk is a scanned layer stack exposing the knob (pythia,
+                # mamba); elsewhere the compiled program is identical to the
+                # unroll=False arm. Gate on free_lunch like the other
+                # compile-level knobs (naive arms never win anyway).
+                self.config.unroll_layers
+                and (
+                    not self.config.free_lunch
+                    or "unroll_layers"
+                    not in inspect.signature(self.model_cls.build_model).parameters
                 ),
             ]
         ):

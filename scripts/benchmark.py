@@ -57,6 +57,7 @@ def run_benchmark(
     sharding = [""]
     offloading = [False]
     state_layout = [""]
+    unroll_layers = [False]
 
     if methods == "free-lunch":
         free_lunch = [True]
@@ -72,6 +73,9 @@ def run_benchmark(
         # bf16 state layouts (on-device alternative to the offloaded
         # optimizer; validity rule restricts them to unoffloaded bf16 arms)
         state_layout = ["", "bf16_master", "bf16_sr"]
+        # layer-stack unrolling (scan vs unrolled trunk): validity rule keeps
+        # the True arms to scanned-stack models under free lunch
+        unroll_layers = [False, True]
 
     sweep = TrainingTimeEmpiricalSweep(
         search_space=dict(
@@ -86,6 +90,7 @@ def run_benchmark(
             offloading=offloading,
             tensor_parallel=[tensor_parallel],
             state_layout=state_layout,
+            unroll_layers=unroll_layers,
         )
     )
     Sweep.run(experiment_sweep=sweep, cmd=cmd, slurm=slurm)

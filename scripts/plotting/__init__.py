@@ -27,6 +27,9 @@ def method_label(row) -> str:
     layout = row.get("state_layout")
     if layout and not (isinstance(layout, float) and pd.isna(layout)):
         parts.append(str(layout))
+    unroll = row.get("unroll_layers")
+    if unroll and not (isinstance(unroll, float) and pd.isna(unroll)):
+        parts.append("unroll")
     return "+".join(parts) if parts else "naive"
 
 
@@ -46,6 +49,7 @@ def load_results(num_hosts: int, chips_per_host: int, tpu_type: str, model: str)
             sharding=["", "zero_1", "zero_2", "zero_3", "fsdp_shard_grad_op", "fsdp_full_shard"],
             offloading=[False, True],
             state_layout=["", "bf16_master", "bf16_sr"],
+            unroll_layers=[False, True],
         )
     )
     df = sweep.results()

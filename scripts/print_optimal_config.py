@@ -30,6 +30,7 @@ def full_search_space(num_hosts, chips_per_host, tpu_type, model):
         sharding=["", "zero_1", "zero_2", "zero_3", "fsdp_shard_grad_op", "fsdp_full_shard"],
         offloading=[False, True],
         state_layout=["", "bf16_master", "bf16_sr"],
+        unroll_layers=[False, True],
     )
 
 
@@ -58,7 +59,7 @@ def main():
     p.add_argument("--top", type=int, default=10)
     a = p.parse_args()
     df = optimal_config(a.num_hosts, a.chips_per_host, a.tpu_type, a.model)
-    cols = [c for c in ["free_lunch", "activation_checkpointing", "checkpoint_policy", "sharding", "offloading", "state_layout", "micro_batch_size", "gradient_accumulation_steps", "step_time", "training_days"] if c in df.columns]
+    cols = [c for c in ["free_lunch", "activation_checkpointing", "checkpoint_policy", "sharding", "offloading", "state_layout", "unroll_layers", "micro_batch_size", "gradient_accumulation_steps", "step_time", "training_days"] if c in df.columns]
     with pd.option_context("display.max_rows", None, "display.width", 200):
         print(df[cols].head(a.top).to_string(index=False))
 
