@@ -187,6 +187,13 @@ def test_validity_rules_match_reference():
     assert TrainingTimeEmpirical(
         config=TrainingConfig(num_hosts=2, chips_per_host=4, tpu_type="v4", model="pythia-160m", sharding="fsdp_hybrid_shard")
     ).is_valid()
+    # unroll_layers is a real arm only for scanned-stack models (pythia,
+    # mamba) under free lunch; elsewhere the compiled program is identical
+    # to the unroll=False arm, so the grid drops it
+    assert make(free_lunch=True, unroll_layers=True).is_valid()
+    assert not make(free_lunch=False, unroll_layers=True).is_valid()
+    assert not make(model="vit", free_lunch=True, unroll_layers=True).is_valid()
+    assert make(model="mamba", free_lunch=True, unroll_layers=True).is_valid()
 
 
 def test_sweep_grid_counts():
