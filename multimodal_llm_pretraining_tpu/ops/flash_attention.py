@@ -35,6 +35,29 @@ def flash_supported(q, k, v, mask) -> bool:
     return mask is None and q.ndim == 4 and k.ndim == 4 and v.ndim == 4 and q.shape[-1] <= 512
 
 
+def _auto_block(seq: int, default: int) -> int:
+    """Block size for one grid axis: the largest of {default, default/2, ...,
+    128} whose padding waste stays under 1/8 of the padded length; if none
+    qualifies (short/awkward lengths), the block minimizing the padded
+    length wins, ties to the larger block.
+
+    Padded tile work is quadratic in the per-axis waste, and it bites on
+    encoder sequences: ViT-L runs S=577, which block 512 pads to 1024 (3.1x
+    the score-tile area) while block 128 pads to 640 (1.23x). Exact-fit
+    sequences (pythia 2048, roberta 512) keep the 512 default, so the
+    causal-LM production step is unchanged."""
+    candidates = []
+    b = default
+    while b >= 128:
+        candidates.append(b)
+        b //= 2
+    for b in candidates:  # largest first
+        padded = -(-seq // b) * b
+        if padded - seq <= padded // 8:
+            return b
+    return min(candidates, key=lambda b: ((-(-seq // b)) * b, -b))
+
+
 def _pad_to(x, axis, multiple):
     size = x.shape[axis]
     pad = (-size) % multiple
@@ -493,16 +516,21 @@ def flash_attention(
     causal: bool = False,
     sm_scale: float | None = None,
     kv_len_mask: jax.Array | None = None,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_q: int | None = None,
+    block_k: int | None = None,
 ) -> jax.Array:
     """Flash attention over [B, H, S, D] (``kv_len_mask`` must be None; the
-    dispatcher routes ragged masks to the XLA path)."""
+    dispatcher routes ragged masks to the XLA path). Block sizes default to
+    per-shape auto-tuning (``_auto_block``); pass explicit values to pin."""
     assert kv_len_mask is None
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
     b, h, sq, d = q.shape
     kv = k.shape[2]
+    if block_q is None:
+        block_q = _auto_block(sq, DEFAULT_BLOCK_Q)
+    if block_k is None:
+        block_k = _auto_block(kv, DEFAULT_BLOCK_K)
     out = _flash(
         q.reshape(b * h, sq, d),
         k.reshape(b * h, kv, d),

@@ -13,6 +13,24 @@ def _rand(shape, seed=0):
     return jnp.asarray(np.random.default_rng(seed).normal(size=shape), jnp.float32)
 
 
+def test_auto_block_selection():
+    from multimodal_llm_pretraining_tpu.ops.flash_attention import _auto_block
+
+    # exact-fit production sequences keep the full default block
+    assert _auto_block(2048, 512) == 512
+    assert _auto_block(512, 512) == 512
+    # ViT-L's S=577 would pad 512-blocks to 1024 (3.1x tile area); the
+    # auto block shrinks to 128 (pad 640, 1.23x)
+    assert _auto_block(577, 512) == 128
+    # fused multimodal sequences (e.g. LLaVA ~1088) also prefer tight blocks
+    assert _auto_block(1088, 512) == 128
+    # short sequences floor at 128 (bounds-masked in-kernel)
+    assert _auto_block(40, 512) == 128
+    # moderate waste within 1/8 keeps the bigger block
+    assert _auto_block(1536, 512) == 512
+    assert _auto_block(1000, 512) == 512  # pad 1024, waste 2.3%
+
+
 @pytest.mark.parametrize("causal", [False, True])
 @pytest.mark.parametrize("seq", [128, 200])
 def test_flash_forward_matches_naive(causal, seq):
