@@ -10,6 +10,14 @@ per-leaf update), bf16 grad accumulators, save-dots remat at mbs 4. That
 replaces round 2's streaming host-offload optimizer (and its ~1.5 s/step
 host round-trip): the optimizer update now costs ~0.1 s in-jit.
 
+The headline is measured at the WORKLOAD's global batch (1024 = mbs 4 x
+grad-acc 256, ref ``src/models/pythia.py:25-30``): since one acc-256
+execution would trip this backend's ~30 s per-execution deadline, the step
+runs as 8 chained acc-32 grads-only executions carrying the accumulator
+in place plus one optimizer update -- a true measurement with all dispatch
+overhead included, not an extrapolation. The acc-32 fused production step
+is reported alongside in ``detail``.
+
 vs_baseline compares achieved model-FLOPs utilization against the 45% MFU
 target (BASELINE.md): vs_baseline = MFU / 0.45. MFU uses the analytic dense
 fwd+bwd FLOPs (remat recompute not credited) against the chip's datasheet
@@ -76,8 +84,41 @@ def main():
         times.append(time.perf_counter() - t0)
 
     step_time = sorted(times)[len(times) // 2]  # median
-    tokens_per_step = micro_batch_size * acc_steps * n_chips * mc.sequence_length
-    tokens_per_sec_per_chip = tokens_per_step / step_time / n_chips
+
+    # Workload-scale measurement. The pythia-1b workload trains at global
+    # batch 1024 (ref ``src/models/pythia.py:25-30``) = mbs 4 x acc 256 on
+    # one chip, but a single acc-256 execution trips this backend's
+    # per-execution deadline (~30 s -> ABORTED). So the workload step runs
+    # as ``wl_chunks`` chained acc-32 grads-only executions carrying the
+    # accumulator buffer in place, then one optimizer update with
+    # acc_steps=256: a true measured global-batch-1024 step including every
+    # dispatch, not a linear extrapolation.
+    wl_chunks = 8
+    wl_acc = acc_steps * wl_chunks
+    gfn = sess.grads_fn()
+    update = sess.optimizer_update_fn()
+    params, opt_state = state.params, state.opt_state
+
+    def workload_step(params, opt_state, seed0):
+        grads = sess.zero_grads()
+        for j in range(wl_chunks):
+            grads, _loss = gfn(params, grads, wl_batches[(seed0 + j) % len(wl_batches)], jax.random.key(j), state.step)
+        return update(params, opt_state, grads, float(wl_acc))
+
+    wl_batches = [sess.make_train_batch(seed=100 + j) for j in range(wl_chunks)]
+    block_on(wl_batches)
+    params, opt_state = workload_step(params, opt_state, 0)  # compile + settle
+    block_on(params)
+    wl_times = []
+    for i in range(2):
+        t0 = time.perf_counter()
+        params, opt_state = workload_step(params, opt_state, i)
+        block_on(params)
+        wl_times.append(time.perf_counter() - t0)
+    wl_step_time = min(wl_times)
+
+    tokens_per_step = micro_batch_size * wl_acc * n_chips * mc.sequence_length
+    tokens_per_sec_per_chip = tokens_per_step / wl_step_time / n_chips
 
     # MFU from the analytic dense-transformer FLOPs count (XLA cost_analysis
     # under-reports through Pallas kernels and some PJRT transports)
@@ -86,27 +127,30 @@ def main():
     # standard MFU: useful fwd+bwd FLOPs only (remat recompute is overhead,
     # not model work)
     flops_per_example = analytic_flops_per_example(mc, backward=True, remat=False)
-    mfu = None
+    mfu = wl_mfu = None
     tpu_type = detect_local_tpu()
     if flops_per_example and tpu_type:
-        achieved_tflops = flops_per_example * micro_batch_size * acc_steps / step_time / 1e12
-        mfu = achieved_tflops / peak_tflops(tpu_type, "bf16")
+        peak = peak_tflops(tpu_type, "bf16")
+        mfu = flops_per_example * micro_batch_size * acc_steps / step_time / 1e12 / peak
+        wl_mfu = flops_per_example * micro_batch_size * wl_acc / wl_step_time / 1e12 / peak
 
-    vs_baseline = (mfu / 0.45) if mfu else None
+    vs_baseline = (wl_mfu / 0.45) if wl_mfu else None
     print(
         json.dumps(
             {
-                "metric": f"{model_type} tokens/sec/chip (all-on-device bf16 state, SR params, save-dots remat)",
+                "metric": f"{model_type} tokens/sec/chip (workload global batch 1024; all-on-device bf16 state, SR params, save-dots remat)",
                 "value": round(tokens_per_sec_per_chip, 1),
                 "unit": "tokens/s/chip",
                 "vs_baseline": round(vs_baseline, 4) if vs_baseline else None,
                 "detail": {
-                    "step_time_s": round(step_time, 4),
-                    "mfu": round(mfu, 4) if mfu else None,
+                    "workload_step_time_s": round(wl_step_time, 4),
+                    "workload_mfu": round(wl_mfu, 4) if wl_mfu else None,
+                    "workload_grad_accumulation": wl_acc,
+                    "fused_acc32_step_time_s": round(step_time, 4),
+                    "fused_acc32_mfu": round(mfu, 4) if mfu else None,
                     "tpu": tpu_type,
                     "n_chips": n_chips,
                     "micro_batch_size": micro_batch_size,
-                    "grad_accumulation": acc_steps,
                     "loss": round(float(metrics["loss"]), 4),
                 },
             }
