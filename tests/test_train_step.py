@@ -122,6 +122,41 @@ def test_split_acc_optim_path_matches_fused():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
+def test_chained_grads_executions_equal_fused_step():
+    """bench.py's workload-scale protocol: N chained grads_fn executions
+    carrying the accumulator buffer + one optimizer update at the TOTAL
+    accumulation must equal ONE fused step at that accumulation (the
+    backend's per-execution deadline forbids a single acc-256 program, so
+    the workload step is measured as chained chunks)."""
+    mc = get_model_class("pythia-14m")
+
+    sess4 = tiny_plan(mc, acc=4, mbs=2).build_session(mc)
+    sess4.dataset.sequence_length = 33
+    state4 = sess4.init_state(seed=0)
+    batch4 = sess4.make_train_batch(seed=7)
+    fused_state, metrics = sess4.train_step_fn()(state4, batch4, jax.random.key(0))
+
+    sess2 = tiny_plan(mc, acc=2, mbs=2).build_session(mc)
+    sess2.dataset.sequence_length = 33
+    state2 = sess2.init_state(seed=0)
+    gfn = sess2.grads_fn()
+    update = sess2.optimizer_update_fn()
+    grads = sess2.zero_grads()
+    # same data, same rng: the fused step scans all 4 microbatches under one
+    # step rng, so both chunks get that rng
+    b1 = {k: v[:2] for k, v in batch4.items()}
+    b2 = {k: v[2:] for k, v in batch4.items()}
+    grads, l1 = gfn(state2.params, grads, b1, jax.random.key(0), state2.step)
+    grads, l2 = gfn(state2.params, grads, b2, jax.random.key(0), state2.step)
+    params, _ = update(state2.params, state2.opt_state, grads, 4.0)
+
+    np.testing.assert_allclose(float((l1 + l2) / 4.0), float(metrics["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(fused_state.params), jax.tree.leaves(params)):
+        np.testing.assert_allclose(
+            np.asarray(a, dtype=np.float32), np.asarray(b, dtype=np.float32), rtol=1e-4, atol=1e-6
+        )
+
+
 def test_tensor_parallel_axis():
     """GSPMD tensor parallelism via tp_rules: 4-way data x 2-way model.
     Partitioned matmuls are layout, not numerics: the trajectory must match
