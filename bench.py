@@ -26,6 +26,7 @@ table analog, ``experiments/training_time_analytic.py:24-47``).
 """
 
 import json
+import os
 import time
 
 import jax
@@ -49,7 +50,10 @@ def main():
         micro_batch_size=micro_batch_size,
         gradient_accumulation_steps=acc_steps,
         activation_checkpointing=True,
-        checkpoint_policy="dots",
+        # A/B gate for remat-policy comparisons on the live chip (the grid
+        # ranks flash/dots/none within 0.9% on this stack; default follows
+        # the committed headline recipe)
+        checkpoint_policy=os.environ.get("MLPT_BENCH_CKPT", "dots"),
         bf16=True,
         compile=True,
         use_custom_kernels=True,

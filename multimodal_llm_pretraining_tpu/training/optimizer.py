@@ -199,8 +199,6 @@ def build_optimizer(
     tx = optax.chain(*parts)
 
     if trainable_mask is not None:
-        import jax
-
         inverted = jax.tree.map(lambda t: not t, trainable_mask)
         tx = optax.chain(
             optax.masked(tx, trainable_mask),
