@@ -103,23 +103,27 @@ def main():
     update = sess.optimizer_update_fn()
     params, opt_state = state.params, state.opt_state
 
-    def workload_step(params, opt_state, seed0):
+    def workload_step(params, opt_state, step_seed, seed0):
         grads = sess.zero_grads()
+        # chunk rngs fold the chunk index from ONE per-step key, so the
+        # chained protocol stays trajectory-equivalent to a fused acc-256
+        # step for rng-consuming models too (pythia itself is dropout-free)
+        step_key = jax.random.key(step_seed)
         for j in range(wl_chunks):
-            grads, _loss = gfn(params, grads, wl_batches[(seed0 + j) % len(wl_batches)], jax.random.key(j), state.step)
+            grads, _loss = gfn(params, grads, wl_batches[(seed0 + j) % len(wl_batches)], jax.random.fold_in(step_key, j), state.step)
         return update(params, opt_state, grads, float(wl_acc))
 
     wl_batches = [sess.make_train_batch(seed=100 + j) for j in range(wl_chunks)]
     block_on(wl_batches)
-    params, opt_state = workload_step(params, opt_state, 0)  # compile + settle
+    params, opt_state = workload_step(params, opt_state, 0, 0)  # compile + settle
     block_on(params)
     wl_times = []
-    for i in range(2):
+    for i in range(3):  # median of 3, same protocol as the fused metric
         t0 = time.perf_counter()
-        params, opt_state = workload_step(params, opt_state, i)
+        params, opt_state = workload_step(params, opt_state, 1 + i, i)
         block_on(params)
         wl_times.append(time.perf_counter() - t0)
-    wl_step_time = min(wl_times)
+    wl_step_time = sorted(wl_times)[len(wl_times) // 2]
 
     tokens_per_step = micro_batch_size * wl_acc * n_chips * mc.sequence_length
     tokens_per_sec_per_chip = tokens_per_step / wl_step_time / n_chips

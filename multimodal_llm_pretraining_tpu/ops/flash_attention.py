@@ -8,8 +8,11 @@ O(S^2) residuals), so attention activation memory is O(S*D) per head.
 
 Layout: [batch, heads, seq, head_dim]; batch*heads folds into the first grid
 axis. Sequences are padded to the block size and masked exactly in-kernel
-(bounds + causal). Rectangular (cross-)attention works; ragged per-token
-masks fall back to the XLA path (see ``ops/attention.py``).
+(bounds + causal). Rectangular (cross-)attention works; [B, Sk] padding
+keep-masks run in-kernel as per-row kv lengths (``_flash_varlen``), so
+padded multimodal batches (LLaVA seq 1087) stay on the flash path instead
+of materializing O(S^2) bias tensors. Arbitrary additive biases fall back
+to the XLA path (see ``ops/attention.py``).
 """
 
 import functools
@@ -30,9 +33,19 @@ LANES = 8  # per-row stats (lse/delta) carry a small broadcast trailing dim:
 
 
 def flash_supported(q, k, v, mask) -> bool:
-    """The kernel handles [B,H,S,D] with full (None) masks; ragged masks and
-    oversized head dims go to the XLA path."""
-    return mask is None and q.ndim == 4 and k.ndim == 4 and v.ndim == 4 and q.shape[-1] <= 512
+    """The kernel handles [B,H,S,D] with full (None) masks or [B,Sk] padding
+    masks (prefix-contiguous keep-masks -- what every collator in this repo
+    produces; the kernel reduces them to per-row kv lengths). Irregular
+    biases and oversized head dims go to the XLA path."""
+    if not (q.ndim == 4 and k.ndim == 4 and v.ndim == 4 and q.shape[-1] <= 512):
+        return False
+    return mask is None or (mask.ndim == 2 and mask.shape[0] == q.shape[0] and mask.shape[1] == k.shape[2])
+
+
+def _cdiv(a, b):
+    """ceil-div that stays a Python int for Python ints (so static loop
+    bounds keep unrolling) and traces for dynamic kv lengths."""
+    return (a + b - 1) // b
 
 
 def _auto_block(seq: int, default: int) -> int:
@@ -75,18 +88,28 @@ def _interpret() -> bool:
 # ---------------------------------------------------------------- forward
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale, causal, block_k, kv_seq):
+def _fwd_kernel(*refs, sm_scale, causal, block_k, kv_seq, varlen=False):
     # q_ref: [1, block_q, D]; k_ref/v_ref: [1, kv_pad, D]
     # sm_scale is folded into q once (one [block_q, D] mul) rather than into
     # every [block_q, block_k] score block: the softmax is VPU-bound at small
     # head dims, so each saved elementwise pass over the scores matters.
+    # varlen: the SMEM [bh,1] kv-length column leads the refs (indexed by
+    # batch-head program id); every static kv bound below becomes that
+    # dynamic value (loop bounds turn into while-loops -- only the
+    # masked-arm path pays, full interior blocks still skip mask work).
+    if varlen:
+        lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref = refs
+        kv_len = lens_ref[pl.program_id(0), 0]
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref = refs
+        kv_len = kv_seq
     _, block_q, head_dim = q_ref.shape
     qi = pl.program_id(1)
     q_start = qi * block_q
 
     q = (q_ref[0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
     in_dtype = q.dtype
-    num_kb = pl.cdiv(kv_seq, block_k)
+    num_kb = _cdiv(kv_len, block_k)
 
     def body(kb, carry, masked):
         acc, m_i, l_i = carry
@@ -97,7 +120,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale, causal, block_
 
         if masked:
             k_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-            mask = k_idx < kv_seq
+            mask = k_idx < kv_len
             if causal:
                 q_idx = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
                 mask = jnp.logical_and(mask, q_idx >= k_idx)
@@ -112,12 +135,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale, causal, block_
 
     if causal:
         # key blocks strictly above this q block's diagonal contribute nothing
-        num_kb_eff = jnp.minimum(num_kb, pl.cdiv(q_start + block_q, block_k))
+        num_kb_eff = jnp.minimum(num_kb, _cdiv(q_start + block_q, block_k))
     else:
         num_kb_eff = num_kb
     # blocks needing no mask work: fully below the diagonal AND within bounds.
     # q_start is multiple_of(block_q); interior count is exact, not a bound.
-    num_kb_full = jnp.minimum(q_start // block_k, kv_seq // block_k) if causal else kv_seq // block_k
+    num_kb_full = jnp.minimum(q_start // block_k, kv_len // block_k) if causal else kv_len // block_k
 
     acc = jnp.zeros((block_q, head_dim), jnp.float32)
     m_i = jnp.full((block_q,), NEG_INF, jnp.float32)
@@ -135,7 +158,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale, causal, block_
 # ---------------------------------------------------------------- backward
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, sm_scale, causal, block_k, kv_seq):
+def _bwd_dq_kernel(*refs, sm_scale, causal, block_k, kv_seq, varlen=False):
+    if varlen:
+        lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref = refs
+        kv_len = lens_ref[pl.program_id(0), 0]
+    else:
+        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref = refs
+        kv_len = kv_seq
     _, block_q, head_dim = q_ref.shape
     qi = pl.program_id(1)
     q_start = qi * block_q
@@ -147,7 +176,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, s
     do = do_ref[0]
     lse = lse_ref[0, :, 0]
     delta = delta_ref[0, :, 0]
-    num_kb = pl.cdiv(kv_seq, block_k)
+    num_kb = _cdiv(kv_len, block_k)
 
     def body(kb, dq, masked):
         k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
@@ -155,7 +184,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, s
         s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
         if masked:
             k_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-            mask = k_idx < kv_seq
+            mask = k_idx < kv_len
             if causal:
                 q_idx = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
                 mask = jnp.logical_and(mask, q_idx >= k_idx)
@@ -166,10 +195,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, s
         return dq + jax.lax.dot(ds, k_blk, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
 
     if causal:
-        num_kb_eff = jnp.minimum(num_kb, pl.cdiv(q_start + block_q, block_k))
+        num_kb_eff = jnp.minimum(num_kb, _cdiv(q_start + block_q, block_k))
     else:
         num_kb_eff = num_kb
-    num_kb_full = jnp.minimum(q_start // block_k, kv_seq // block_k) if causal else kv_seq // block_k
+    num_kb_full = jnp.minimum(q_start // block_k, kv_len // block_k) if causal else kv_len // block_k
     dq = jnp.zeros((block_q, head_dim), jnp.float32)
     dq = jax.lax.fori_loop(0, num_kb_full, functools.partial(body, masked=False), dq)
     dq = jax.lax.fori_loop(num_kb_full, num_kb_eff, functools.partial(body, masked=True), dq)
@@ -177,8 +206,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, s
 
 
 def _bwd_fused_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dk_ref, dv_ref,
-    *, sm_scale, causal, block_q, q_seq, kv_seq,
+    *refs, sm_scale, causal, block_q, q_seq, kv_seq, varlen=False,
 ):
     """Single-pass backward: dq, dk, dv from ONE score/probability tile.
 
@@ -191,6 +219,12 @@ def _bwd_fused_kernel(
     programs of one batch-head (revisiting), accumulating ds @ k
     contributions, and flushes once when the bh index advances.
     """
+    if varlen:
+        lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dk_ref, dv_ref = refs
+        kv_len = lens_ref[pl.program_id(0), 0]
+    else:
+        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dk_ref, dv_ref = refs
+        kv_len = kv_seq
     _, block_k, head_dim = k_ref.shape
     ki = pl.program_id(1)
     k_start = ki * block_k
@@ -206,7 +240,7 @@ def _bwd_fused_kernel(
     # and dq = ds @ k (ds already carries sm_scale)
     k_scaled = (k_blk.astype(jnp.float32) * sm_scale).astype(in_dtype)
     k_idx = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-    kv_keep = k_idx < kv_seq
+    kv_keep = k_idx < kv_len
     num_qb = pl.cdiv(q_seq, block_q)
 
     def body(qi, carry, masked):
@@ -237,7 +271,7 @@ def _bwd_fused_kernel(
     qb_start = k_start // block_q if causal else 0
     diag_end = pl.cdiv(k_start + block_k, block_q) if causal else qb_start
     diag_end = jnp.minimum(diag_end, num_qb)
-    kv_full = (k_start + block_k) <= kv_seq
+    kv_full = (k_start + block_k) <= kv_len
     full_hi = jnp.where(kv_full, jnp.maximum(diag_end, q_seq // block_q), diag_end)
 
     dk = jnp.zeros((block_k, head_dim), jnp.float32)
@@ -250,7 +284,13 @@ def _bwd_fused_kernel(
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, sm_scale, causal, block_q, q_seq, kv_seq):
+def _bwd_dkv_kernel(*refs, sm_scale, causal, block_q, q_seq, kv_seq, varlen=False):
+    if varlen:
+        lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref = refs
+        kv_len = lens_ref[pl.program_id(0), 0]
+    else:
+        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref = refs
+        kv_len = kv_seq
     _, block_k, head_dim = k_ref.shape
     ki = pl.program_id(1)
     k_start = ki * block_k
@@ -262,7 +302,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_
     # the dk = ds^T @ q matmul (ds already carries sm_scale)
     k_scaled = (k_blk.astype(jnp.float32) * sm_scale).astype(in_dtype)
     k_idx = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-    kv_keep = k_idx < kv_seq
+    kv_keep = k_idx < kv_len
     num_qb = pl.cdiv(q_seq, block_q)
 
     def body(qi, carry, masked):
@@ -292,7 +332,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_
     qb_start = k_start // block_q if causal else 0
     diag_end = pl.cdiv(k_start + block_k, block_q) if causal else qb_start
     diag_end = jnp.minimum(diag_end, num_qb)
-    kv_full = (k_start + block_k) <= kv_seq
+    kv_full = (k_start + block_k) <= kv_len
     full_hi = jnp.where(kv_full, jnp.maximum(diag_end, q_seq // block_q), diag_end)
 
     dk = jnp.zeros((block_k, head_dim), jnp.float32)
@@ -308,22 +348,36 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_
 # ---------------------------------------------------------------- plumbing
 
 
-def _fwd_impl(q, k, v, causal, sm_scale, block_q, block_k):
+def _lens_spec(bh):
+    """SMEM spec for the per-batch-head kv-length column ([bh, 1] int32).
+    Mosaic requires sublane-dim blocks divisible by 8 or whole-array: the
+    whole (tiny) column rides along and kernels index it by program id."""
+    return pl.BlockSpec((bh, 1), lambda b, i: (0, 0), memory_space=pltpu.SMEM)
+
+
+def _fwd_impl(q, k, v, causal, sm_scale, block_q, block_k, kv_lens=None):
     bh, q_seq, head_dim = q.shape
     kv_seq = k.shape[1]
     qp = _pad_to(q, 1, block_q)
     kp = _pad_to(k, 1, block_k)
     vp = _pad_to(v, 1, block_k)
     q_pad, kv_pad = qp.shape[1], kp.shape[1]
+    varlen = kv_lens is not None
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, head_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kv_pad, head_dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kv_pad, head_dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    inputs = (qp, kp, vp)
+    if varlen:
+        in_specs = [_lens_spec(bh)] + in_specs
+        inputs = (kv_lens,) + inputs
 
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, sm_scale=sm_scale, causal=causal, block_k=block_k, kv_seq=kv_seq),
+        functools.partial(_fwd_kernel, sm_scale=sm_scale, causal=causal, block_k=block_k, kv_seq=kv_seq, varlen=varlen),
         grid=(bh, q_pad // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, head_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kv_pad, head_dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kv_pad, head_dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, block_q, head_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, LANES), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
@@ -333,7 +387,7 @@ def _fwd_impl(q, k, v, causal, sm_scale, block_q, block_k):
             jax.ShapeDtypeStruct((bh, q_pad, LANES), jnp.float32),
         ],
         interpret=_interpret(),
-    )(qp, kp, vp)
+    )(*inputs)
     return out[:, :q_seq], lse[:, :q_seq, 0]
 
 
@@ -356,11 +410,23 @@ def _flash_fwd_rule(q, k, v, causal, sm_scale, block_q, block_k):
 
 
 # Mosaic's default scoped-VMEM budget is 16 MiB, but the physical VMEM on
-# current chips is far larger (probed >=60 MiB usable on v5e); kernels whose
-# working set exceeds the default ask for more via
-# CompilerParams(vmem_limit_bytes=...). Staying well under physical capacity
-# keeps headroom for the pipeline's input/output double buffers.
-VMEM_CAP = 56 * 2**20
+# current chips is far larger (probed >=60 MiB usable on v5e; v4/v5p/v6e
+# carry 128 MiB); kernels whose working set exceeds the default ask for more
+# via CompilerParams(vmem_limit_bytes=...). Staying well under physical
+# capacity keeps headroom for the pipeline's input/output double buffers.
+# v2/v3 physically have 16 MiB, where a 56 MiB grant would fail compilation:
+# the cap follows the detected generation (conservative default elsewhere).
+_VMEM_CAP_BY_GEN = {"v4": 56 * 2**20, "v5e": 56 * 2**20, "v5p": 56 * 2**20, "v6e": 56 * 2**20}
+_VMEM_CAP_DEFAULT = 16 * 2**20
+
+
+@functools.cache
+def _vmem_cap() -> int:
+    from ..tpus import detect_local_tpu
+
+    if _interpret():
+        return 56 * 2**20  # interpret mode: the grant never reaches Mosaic
+    return _VMEM_CAP_BY_GEN.get(detect_local_tpu(), _VMEM_CAP_DEFAULT)
 
 # Gate between the fused single-pass backward (dq+dk+dv from one score
 # tile, 5 matmul passes vs the split kernels' 7) and the split dq/dkv
@@ -391,14 +457,14 @@ def _fused_bwd_est(q_pad, head_dim, block_q, block_k) -> int:
 
 def _fused_bwd_plan(q_seq, head_dim, block_q, block_k):
     """(block_q, block_k, vmem_limit_bytes) for the fused backward, or None
-    when even shrunken blocks would blow past ``VMEM_CAP`` (-> split
+    when even shrunken blocks would blow past ``_vmem_cap()`` (-> split
     kernels). Shrinks block_k first: the whole-sequence q/do/dq residency is
     paid either way, while the k/v/dk/dv tile cost scales with block_k."""
     bq, bk = block_q, block_k
     while True:
         q_pad = q_seq + ((-q_seq) % bq)
         need = int(2.5 * _fused_bwd_est(q_pad, head_dim, bq, bk))
-        if need <= VMEM_CAP:
+        if need <= _vmem_cap():
             return bq, bk, max(need, 16 * 2**20)
         if bk > 128:
             bk //= 2
@@ -408,10 +474,10 @@ def _fused_bwd_plan(q_seq, head_dim, block_q, block_k):
             return None
 
 
-def _flash_bwd_rule(causal, sm_scale, block_q, block_k, res, g):
-    q, k, v, out, lse = res
+def _bwd_impl(causal, sm_scale, block_q, block_k, q, k, v, out, lse, g, kv_lens=None):
     bh, q_seq, head_dim = q.shape
     kv_seq = k.shape[1]
+    varlen = kv_lens is not None
 
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # [BH, Sq]
 
@@ -424,12 +490,14 @@ def _flash_bwd_rule(causal, sm_scale, block_q, block_k, res, g):
     deltap = jnp.broadcast_to(_pad_to(delta, 1, block_q)[..., None], lsep.shape)
     kp, vp = _pad_to(k, 1, block_k), _pad_to(v, 1, block_k)
     q_pad, kv_pad = qp.shape[1], kp.shape[1]
+    lens_in = (kv_lens,) if varlen else ()
+    lens_spec = [_lens_spec(bh)] if varlen else []
 
     if fused_plan is not None:
         dq, dk, dv = pl.pallas_call(
-            functools.partial(_bwd_fused_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q, q_seq=q_seq, kv_seq=kv_seq),
+            functools.partial(_bwd_fused_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q, q_seq=q_seq, kv_seq=kv_seq, varlen=varlen),
             grid=(bh, kv_pad // block_k),
-            in_specs=[
+            in_specs=lens_spec + [
                 pl.BlockSpec((1, q_pad, head_dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, block_k, head_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, block_k, head_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
@@ -451,7 +519,7 @@ def _flash_bwd_rule(causal, sm_scale, block_q, block_k, res, g):
             ],
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
             interpret=_interpret(),
-        )(qp, kp, vp, dop, lsep, deltap)
+        )(*lens_in, qp, kp, vp, dop, lsep, deltap)
         return dq[:, :q_seq].astype(q.dtype), dk[:, :kv_seq], dv[:, :kv_seq]
 
     # Split-kernel fallback (shapes whose whole-sequence residency exceeds
@@ -464,9 +532,9 @@ def _flash_bwd_rule(causal, sm_scale, block_q, block_k, res, g):
     block_k_dkv = block_k // 2 if (big_head and block_k >= 256) else block_k
 
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, causal=causal, block_k=block_k, kv_seq=kv_seq),
+        functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, causal=causal, block_k=block_k, kv_seq=kv_seq, varlen=varlen),
         grid=(bh, q_pad // block_q),
-        in_specs=[
+        in_specs=lens_spec + [
             pl.BlockSpec((1, block_q, head_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kv_pad, head_dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kv_pad, head_dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -476,14 +544,14 @@ def _flash_bwd_rule(causal, sm_scale, block_q, block_k, res, g):
         ],
         out_specs=pl.BlockSpec((1, block_q, head_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, q_pad, head_dim), q.dtype),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_CAP),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_cap()),
         interpret=_interpret(),
-    )(qp, kp, vp, dop, lsep, deltap)[:, :q_seq]
+    )(*lens_in, qp, kp, vp, dop, lsep, deltap)[:, :q_seq]
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q_dkv, q_seq=q_seq, kv_seq=kv_seq),
+        functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q_dkv, q_seq=q_seq, kv_seq=kv_seq, varlen=varlen),
         grid=(bh, kv_pad // block_k_dkv),
-        in_specs=[
+        in_specs=lens_spec + [
             pl.BlockSpec((1, q_pad, head_dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k_dkv, head_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k_dkv, head_dim), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
@@ -499,13 +567,51 @@ def _flash_bwd_rule(causal, sm_scale, block_q, block_k, res, g):
             jax.ShapeDtypeStruct((bh, kv_pad, head_dim), k.dtype),
             jax.ShapeDtypeStruct((bh, kv_pad, head_dim), v.dtype),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_CAP),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_cap()),
         interpret=_interpret(),
-    )(qp, kp, vp, dop, lsep, deltap)
+    )(*lens_in, qp, kp, vp, dop, lsep, deltap)
     return dq, dk[:, :kv_seq], dv[:, :kv_seq]
 
 
+def _flash_bwd_rule(causal, sm_scale, block_q, block_k, res, g):
+    q, k, v, out, lse = res
+    return _bwd_impl(causal, sm_scale, block_q, block_k, q, k, v, out, lse, g)
+
+
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+# Varlen (padded-batch) variant: identical math with per-batch-head kv
+# lengths. A SEPARATE custom_vjp so the unmasked kernels' compiled programs
+# stay byte-identical (static loop bounds keep unrolling; adding a dynamic
+# length would silently re-key every committed measurement).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_varlen(q, k, v, kv_lens, causal, sm_scale, block_q, block_k):
+    out, _ = _fwd_impl(q, k, v, causal, sm_scale, block_q, block_k, kv_lens=kv_lens)
+    return out
+
+
+def _flash_varlen_fwd_rule(q, k, v, kv_lens, causal, sm_scale, block_q, block_k):
+    from jax.ad_checkpoint import checkpoint_name
+
+    out, lse = _fwd_impl(q, k, v, causal, sm_scale, block_q, block_k, kv_lens=kv_lens)
+    out = checkpoint_name(out, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
+    return out, (q, k, v, kv_lens, out, lse)
+
+
+def _flash_varlen_bwd_rule(causal, sm_scale, block_q, block_k, res, g):
+    import numpy as np
+
+    q, k, v, kv_lens, out, lse = res
+    dq, dk, dv = _bwd_impl(causal, sm_scale, block_q, block_k, q, k, v, out, lse, g, kv_lens=kv_lens)
+    # integer input: float0 cotangent
+    return dq, dk, dv, np.zeros(kv_lens.shape, jax.dtypes.float0)
+
+
+_flash_varlen.defvjp(_flash_varlen_fwd_rule, _flash_varlen_bwd_rule)
 
 
 def flash_attention(
@@ -519,10 +625,20 @@ def flash_attention(
     block_q: int | None = None,
     block_k: int | None = None,
 ) -> jax.Array:
-    """Flash attention over [B, H, S, D] (``kv_len_mask`` must be None; the
-    dispatcher routes ragged masks to the XLA path). Block sizes default to
-    per-shape auto-tuning (``_auto_block``); pass explicit values to pin."""
-    assert kv_len_mask is None
+    """Flash attention over [B, H, S, D].
+
+    ``kv_len_mask`` is a [B, Sk] keep-mask (1 = attend). It MUST be
+    prefix-contiguous (right-padded batches -- what every collator here
+    produces): the kernel reduces it to one kv length per row and masks
+    scores at ``k_idx >= len`` in-kernel, so the O(S^2) bias tensor of the
+    XLA path never exists. Non-prefix masks would be silently treated as
+    their ``sum`` prefix.
+
+    Block sizes default to per-shape auto-tuning (``_auto_block``); explicit
+    values pin the FORWARD blocks. The fused backward re-plans its own
+    blocks for VMEM fit (``_fused_bwd_plan``) and may shrink below pinned
+    values; set ``MLPT_FLASH_FUSED_BWD=0`` to use the split kernels, which
+    honor the pinned sizes (halved only at head_dim > 128)."""
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
     b, h, sq, d = q.shape
@@ -531,13 +647,13 @@ def flash_attention(
         block_q = _auto_block(sq, DEFAULT_BLOCK_Q)
     if block_k is None:
         block_k = _auto_block(kv, DEFAULT_BLOCK_K)
-    out = _flash(
-        q.reshape(b * h, sq, d),
-        k.reshape(b * h, kv, d),
-        v.reshape(b * h, kv, d),
-        causal,
-        sm_scale,
-        block_q,
-        block_k,
-    )
+    qf = q.reshape(b * h, sq, d)
+    kf = k.reshape(b * h, kv, d)
+    vf = v.reshape(b * h, kv, d)
+    if kv_len_mask is not None:
+        lens = jnp.sum(kv_len_mask.astype(jnp.int32), axis=-1)  # [B]
+        lens = jnp.broadcast_to(lens[:, None], (b, h)).reshape(b * h, 1)
+        out = _flash_varlen(qf, kf, vf, lens, causal, sm_scale, block_q, block_k)
+    else:
+        out = _flash(qf, kf, vf, causal, sm_scale, block_q, block_k)
     return out.reshape(b, h, sq, d)

@@ -136,6 +136,18 @@ class TrainSession:
             param_shapes = jax.tree.map(
                 lambda s: jax.ShapeDtypeStruct(s.shape, plan.compute_dtype), param_shapes_f32
             )
+        elif self.bundle.trainable_mask is not None and plan.compute_dtype != jnp.float32:
+            # Frozen leaves never update, so an f32 copy buys nothing: store
+            # them in the compute dtype. This is what makes llava-pretrain
+            # fit one chip -- the frozen tower+LM is ~99.6% of its 1.5B
+            # params; f32 storage plus the per-step f32->bf16 convert copies
+            # (hoisted across the whole grad-accum scan by XLA) cost ~8 GiB
+            # at mbs 1. TRAINABLE leaves keep the f32 master semantics.
+            param_shapes = jax.tree.map(
+                lambda s, m: s if m else jax.ShapeDtypeStruct(s.shape, plan.compute_dtype),
+                param_shapes_f32,
+                self.bundle.trainable_mask,
+            )
         else:
             param_shapes = param_shapes_f32
         opt_shapes = jax.eval_shape(self.opt_init, param_shapes)
@@ -276,12 +288,12 @@ class TrainSession:
 
     def init_state(self, seed: int = 0) -> TrainState:
         rng = jax.random.key(seed)
-        if self.master_offload or self.master_device or self.sr_params:
-            # live model copy is bf16; opt_init upcasts it into the f32 master
-            def init_fn(r):
-                return jax.tree.map(lambda p: p.astype(self.plan.compute_dtype), self.bundle.init_fn(r))
-        else:
-            init_fn = self.bundle.init_fn
+
+        # cast each leaf to its declared storage dtype (bf16 live copies under
+        # the master/SR layouts; bf16 FROZEN leaves under a trainable mask;
+        # no-op where storage is f32) -- opt_init upcasts into masters later
+        def init_fn(r):
+            return jax.tree.map(lambda p, s: p.astype(s.dtype), self.bundle.init_fn(r), self.param_shapes)
         params = jax.jit(init_fn, out_shardings=self.param_sharding)(rng)
         if self.streaming_offload and not self._whole_tree_init_fits():
             # One jitted whole-tree init materializes the full f32 Adam

@@ -151,14 +151,14 @@ def test_fused_bwd_plan():
     model-zoo shape, with a raised vmem limit at pythia-1b scale (Mosaic
     measured 18.54M actual vs the 16M default scoped budget); only absurd
     shapes shrink blocks or fall to the split kernels."""
-    from multimodal_llm_pretraining_tpu.ops.flash_attention import VMEM_CAP, _fused_bwd_plan
+    from multimodal_llm_pretraining_tpu.ops.flash_attention import _fused_bwd_plan, _vmem_cap
 
     for head_dim in (64, 128, 256):  # pythia-410m / llama / pythia-1b
         plan = _fused_bwd_plan(2049, head_dim, 512, 512)
         assert plan is not None
         bq, bk, limit = plan
         assert (bq, bk) == (512, 512)
-        assert 16 * 2**20 <= limit <= VMEM_CAP
+        assert 16 * 2**20 <= limit <= _vmem_cap()
     # pythia-1b shapes need more than the 16 MiB default
     assert _fused_bwd_plan(2049, 256, 512, 512)[2] > 18 * 2**20
     # huge head dim at long seq: shrinks blocks before giving up
@@ -190,3 +190,47 @@ def test_flash_shrunken_fused_grads_match_naive(causal, monkeypatch):
         g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("fused", [False, True])
+def test_flash_varlen_padding_mask_matches_xla(causal, fused, monkeypatch):
+    """[B, Sk] prefix keep-masks (right-padded batches, the LLaVA/ViLT
+    collator contract) run in-kernel as per-row kv lengths; fwd and all
+    three grads must match the XLA additive-bias path on BOTH backward
+    paths. Loss is weighted by the mask so pad-row garbage (which the XLA
+    path also produces) stays out of the comparison."""
+    from multimodal_llm_pretraining_tpu.ops import flash_attention as fa
+
+    monkeypatch.setattr(fa, "PREFER_FUSED_BWD", fused)
+    B, H, S, D = 2, 2, 300, 64
+    q, k, v = (_rand((B, H, S, D), s) for s in range(3))
+    lens = np.array([S, 135])  # one full row, one padded mid-k-block
+    mask = jnp.asarray((np.arange(S)[None, :] < lens[:, None]).astype(np.int32))
+    w = mask[:, None, :, None].astype(jnp.float32)
+
+    def f_flash(q, k, v):
+        return (flash_attention(q, k, v, causal=causal, kv_len_mask=mask, block_q=128, block_k=128) ** 2 * w).sum()
+
+    def f_ref(q, k, v):
+        return (dot_product_attention(q, k, v, causal=causal, mask=mask, impl="xla") ** 2 * w).sum()
+
+    with jax.default_matmul_precision("highest"):
+        o1 = flash_attention(q, k, v, causal=causal, kv_len_mask=mask, block_q=128, block_k=128)
+        o2 = dot_product_attention(q, k, v, causal=causal, mask=mask, impl="xla")
+        np.testing.assert_allclose(np.asarray(o1 * w), np.asarray(o2 * w), atol=2e-5)
+        g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_flash_supported_accepts_padding_masks():
+    from multimodal_llm_pretraining_tpu.ops.flash_attention import flash_supported
+
+    q = k = v = jnp.zeros((2, 2, 64, 64), jnp.float32)
+    assert flash_supported(q, k, v, None)
+    assert flash_supported(q, k, v, jnp.ones((2, 64), jnp.int32))
+    # wrong batch / per-head masks still fall back
+    assert not flash_supported(q, k, v, jnp.ones((3, 64), jnp.int32))
+    assert not flash_supported(q, k, v, jnp.ones((2, 2, 64, 64), jnp.int32))
