@@ -276,10 +276,14 @@ class TrainingTimeEmpirical(Experiment):
                 # bf16 state layouts need bf16 compute and Pallas kernels
                 # (free lunch), and are the ALTERNATIVE to the host-offloaded
                 # optimizer (master_weights is a no-op under streaming
-                # offload -- the combination would duplicate the offload arm)
+                # offload -- the combination would duplicate the offload arm).
+                # fp16-parity models qualify too: on TPU they execute as bf16
+                # (TrainingPlan.compute_dtype), so roberta gets the bf16_sr
+                # arms the reference's fp16+loss-scaler recipe has no analog
+                # for.
                 self.config.state_layout != ""
                 and (
-                    self.model_cls.mixed_precision != "bf16"
+                    self.model_cls.mixed_precision not in ("bf16", "fp16")
                     or not self.config.free_lunch
                     or self.config.offloading
                 ),
