@@ -194,3 +194,32 @@ def test_resize_embeddings_mean_rows():
     assert out.shape == (6, 3)
     np.testing.assert_allclose(out[4], e.mean(axis=0))
     np.testing.assert_allclose(out[5], e.mean(axis=0))
+
+
+def test_llama_sharded_index_layout(tiny_llama_dir, tmp_path):
+    """Real multi-shard save_pretrained layout (model.safetensors.index.json
+    + model-0000x-of-0000y.safetensors): the reader must follow the index
+    and reproduce exactly the tensors of the single-file save."""
+    import json
+    import os
+
+    _, hf = tiny_llama_dir
+    d = tmp_path / "sharded"
+    hf.save_pretrained(d, max_shard_size="50KB")
+    index = d / "model.safetensors.index.json"
+    assert index.exists(), "fixture must actually shard (raise max_shard_size?)"
+    shards = {f for f in os.listdir(d) if f.endswith(".safetensors")}
+    assert len(shards) > 1
+    with open(index) as f:
+        weight_map = json.load(f)["weight_map"]
+    assert set(weight_map.values()) == shards
+
+    sharded_params, sharded_embed, kw1 = load_llama(str(d))
+    whole_params, whole_embed, kw2 = load_llama(tiny_llama_dir[0])
+    assert kw1 == kw2
+    np.testing.assert_array_equal(np.asarray(sharded_embed), np.asarray(whole_embed))
+    flat1 = jax.tree_util.tree_leaves_with_path(sharded_params)
+    flat2 = dict(jax.tree_util.tree_leaves_with_path(whole_params))
+    assert {p for p, _ in flat1} == set(flat2)
+    for path, leaf in flat1:
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat2[path]))
