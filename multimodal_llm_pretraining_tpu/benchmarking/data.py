@@ -42,8 +42,13 @@ class DummyTextModelingDataset(DummyDataset):
         self.num_samples = num_samples
 
     def sample_batch(self, batch_size: int, seed: int = 0) -> dict[str, np.ndarray]:
-        rng = np.random.default_rng(seed)
-        ids = rng.integers(0, self.vocab_size, (batch_size, self.sequence_length), dtype=np.int32)
+        # native id synthesis when the C++ library is loaded (~3x numpy for
+        # the pythia workload batch; deterministic in `seed` either way --
+        # the two PRNGs differ, so all hosts must run the same build, which
+        # the shared-seed multihost contract already assumes)
+        from .. import native
+
+        ids = native.random_lm_batch(seed, self.vocab_size, batch_size, self.sequence_length)
         return {"input_ids": ids, "labels": ids.copy()}
 
 
@@ -108,12 +113,13 @@ class DummyMultimodalLanguageModelingForViltDataset(DummyDataset):
         self.mask_token = mask_token
 
     def sample_batch(self, batch_size: int, seed: int = 0) -> dict[str, np.ndarray]:
+        from .. import native
+
         rng = np.random.default_rng(seed)
-        ids = rng.integers(0, self.vocab_size, (batch_size, self.sequence_length), dtype=np.int32)
+        ids = native.random_lm_batch(seed, self.vocab_size, batch_size, self.sequence_length)
         images = rng.random((batch_size, self.image_size, self.image_size, 3), dtype=np.float32)
-        mask = rng.random(ids.shape) < self.percentage_masked
-        mlm_ids = np.where(mask, self.mask_token, ids).astype(np.int32)
-        mlm_labels = np.where(mask, ids, -100).astype(np.int32)
+        # BERT-style corruption in one native pass (ids+labels together)
+        mlm_ids, mlm_labels = native.mlm_corrupt(ids, self.percentage_masked, self.mask_token, seed + 1)
         ones = np.ones_like(ids)
         zeros = np.zeros_like(ids)
         pixel_mask = np.ones((batch_size, self.image_size, self.image_size), np.int32)

@@ -142,7 +142,14 @@ class _LlavaBase(MultimodalModelClass[LlavaT]):
         llama_dir = os.environ.get("MLPT_LLAVA_LLAMA_DIR")
         tower_kwargs = lm_kwargs = None
         image_size = 336
-        if clip_dir and llama_dir:
+        if os.environ.get("MLPT_LLAVA_TEST_DIMS") and not (clip_dir and llama_dir):
+            # CI/dry-run knob: published architecture at toy dims, so the
+            # full sharded llava step (freeze masks + TP rules + merged-seq
+            # flash path) compiles and executes on a virtual CPU mesh
+            tower_kwargs = dict(hidden=32, num_layers=2, num_heads=2, intermediate=64, patch=14, image_size=28)
+            lm_kwargs = dict(hidden=64, num_layers=2, num_heads=4, num_kv_heads=2, ffn=128)
+            image_size = 28
+        elif clip_dir and llama_dir:
             from .weights import clip_module_kwargs, llama_module_kwargs, read_config
 
             clip_cfg = read_config(clip_dir)
@@ -213,6 +220,19 @@ class _LlavaBase(MultimodalModelClass[LlavaT]):
 
     @property
     def image_size(self) -> int:
+        # follows the env-configured tower checkpoint when one is wired in
+        # (MLPT_LLAVA_CLIP_DIR), so the data pipeline sizes images to what
+        # the assembled model actually ingests
+        import os
+
+        clip_dir = os.environ.get("MLPT_LLAVA_CLIP_DIR")
+        if clip_dir:
+            from .weights import read_config
+
+            cfg = read_config(clip_dir)
+            return int(cfg.get("vision_config", cfg).get("image_size", 336))
+        if os.environ.get("MLPT_LLAVA_TEST_DIMS"):
+            return 28
         return 336
 
     @property
