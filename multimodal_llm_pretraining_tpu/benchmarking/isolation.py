@@ -41,6 +41,15 @@ from ..utils import INFRA_MARKERS as _INFRA_MARKERS  # noqa: E402
 
 def _worker_env(env_overrides: dict | None = None) -> dict:
     env = dict(os.environ)
+    # The axon plugin writes TPU worker metadata into os.environ at backend
+    # init; when its metadata query fails it stores its WARNING TEXT in
+    # TPU_WORKER_HOSTNAMES, which the child's libtpu then rejects with
+    # INVALID_ARGUMENT before the backend ever comes up (observed killing 6
+    # probe workers in one sweep). Single-host probe workers are always
+    # localhost: sanitize anything that isn't a plausible hostname list.
+    hosts = env.get("TPU_WORKER_HOSTNAMES")
+    if hosts and (" " in hosts or "WARNING" in hosts):
+        env["TPU_WORKER_HOSTNAMES"] = "localhost"
     # Workers must match the parent's backend. Off-TPU (CPU tests) the
     # parent's virtual device count only exists via env+config, so pass it
     # through explicitly.

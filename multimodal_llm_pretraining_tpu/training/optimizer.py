@@ -90,7 +90,11 @@ def fused_adam_lowp(
 
         params = params if params is not None else updates
         triples = jax.tree.map(one, updates, state.mu, state.nu, params)
-        flat, treedef = jax.tree_util.tree_flatten(triples, is_leaf=lambda x: isinstance(x, tuple))
+        # exact-type check: optax.MaskedNode is an EMPTY NamedTuple, so an
+        # isinstance tuple test would mark frozen-leaf sentinels as leaves
+        # and t[0] would IndexError (hit by every state_layout arm of a
+        # freeze-masked model -- llava, roberta)
+        flat, treedef = jax.tree_util.tree_flatten(triples, is_leaf=lambda x: type(x) is tuple)
         out = treedef.unflatten([t[0] for t in flat])
         new_state = optax.ScaleByAdamState(
             count=count,

@@ -32,6 +32,10 @@ INFRA_MARKERS = (
     "Connection reset",
     "coordination service",
     "Unable to initialize backend",
+    # libtpu rejecting plugin-polluted TPU_WORKER_HOSTNAMES before the
+    # backend exists (the worker env is sanitized in isolation._worker_env;
+    # this classifies any stragglers as the machine, not the arm)
+    "unexpected worker hostname",
 )
 
 # Workload-failure markers that take precedence: an OOM is about the ARM

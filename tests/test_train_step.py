@@ -373,3 +373,39 @@ def test_bf16_opt_state_dtype_knob():
     loss_lowp = run_two_steps(sess)
     assert np.isfinite(loss_lowp)
     assert abs(loss_lowp - _baseline_loss()) < 0.05  # bf16 moment rounding only
+
+
+def test_bf16_state_layout_with_freeze_mask():
+    """fused_adam_lowp under optax.masked: MaskedNode is an EMPTY NamedTuple,
+    which an isinstance-tuple is_leaf marked as a leaf and IndexError'd --
+    every state_layout arm of a freeze-masked model (llava, roberta) died in
+    its probe worker (round-4 grid, logs/chain_r4.log). The masked fused
+    update must step and leave frozen leaves untouched."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from multimodal_llm_pretraining_tpu.models import SchedulerType
+    from multimodal_llm_pretraining_tpu.training.optimizer import build_optimizer
+
+    params = {"frozen": jnp.ones((4, 4), jnp.bfloat16), "train": jnp.ones((4, 4), jnp.bfloat16)}
+    mask = {"frozen": False, "train": True}
+    tx = build_optimizer(
+        "adamw",
+        {"lr": 1e-2, "weight_decay": 0.01},
+        SchedulerType.COSINE,
+        {"num_warmup_steps": 0},
+        num_training_steps=10,
+        max_grad_norm=1.0,
+        trainable_mask=mask,
+        opt_state_dtype=jnp.bfloat16,
+    )
+    state = tx.init(params)
+    grads = {"frozen": jnp.zeros((), jnp.bfloat16), "train": jnp.full((4, 4), 0.5, jnp.bfloat16)}
+    updates, state = tx.update(grads, state, params)
+    new_params = optax.apply_updates(params, updates)
+    assert jnp.all(new_params["frozen"] == params["frozen"])
+    assert not jnp.all(new_params["train"] == params["train"])
+    # moments exist only for the trainable leaf
+    masked_state = jax.tree_util.tree_leaves(state, is_leaf=lambda x: isinstance(x, optax.MaskedNode))
+    assert any(isinstance(leaf, optax.MaskedNode) for leaf in masked_state)
