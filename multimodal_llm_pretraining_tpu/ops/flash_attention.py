@@ -422,6 +422,9 @@ _VMEM_CAP_DEFAULT = 16 * 2**20
 
 @functools.cache
 def _vmem_cap() -> int:
+    override = os.environ.get("MLPT_FLASH_VMEM_CAP_MB")
+    if override:
+        return int(override) * 2**20
     from ..tpus import detect_local_tpu
 
     if _interpret():
