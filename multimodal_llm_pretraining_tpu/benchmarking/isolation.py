@@ -89,7 +89,7 @@ def run_probe_worker(
     spec: dict,
     timeout: float = 3600.0,
     env_overrides: dict | None = None,
-    infra_retries: int = 2,
+    infra_retries: int = 4,
 ) -> dict:
     """Run one probe op in a disposable worker process.
 
@@ -123,7 +123,7 @@ def run_probe_worker(
                     f"probe worker ({spec.get('op')}) hit a transient backend fault "
                     f"(rc={proc.returncode}); retry {attempt + 1}/{infra_retries}"
                 )
-                time.sleep(10.0 * (attempt + 1))
+                time.sleep(15.0 * (attempt + 1))
             continue
         if failure is not None:
             logger.info(f"probe worker ({spec.get('op')}) died: {failure} (rc={proc.returncode})")
