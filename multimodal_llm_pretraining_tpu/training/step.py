@@ -78,6 +78,25 @@ class TrainSession:
         # updater (training/offload_update.py): fetching the whole Adam state
         # to HBM would defeat the offload.
         self.streaming_offload = self.policy.offload_optimizer and host_offload_supported()
+        # Freeze-dominated models (llava-pretrain: projector-only, 47 MB of
+        # state on a 1.5B tree) have nothing worth offloading -- frozen
+        # leaves carry no moments/masters, so the streamed host round-trip
+        # is pure overhead (and the grouped host-state programs trip the
+        # axon AOT compiler's "Unimplemented DMA from hbm to hbm" on these
+        # layouts). Keep their state on device; the offload arm then
+        # measures the program DeepSpeed's offload would effectively run.
+        if self.streaming_offload and self.bundle.trainable_mask is not None:
+            shapes_probe = jax.eval_shape(self.bundle.init_fn, jax.random.key(0))
+            leaves = list(zip(jax.tree.leaves(shapes_probe), jax.tree.leaves(self.bundle.trainable_mask)))
+            trainable_f32 = sum(4 * int(np.prod(s.shape)) for s, m in leaves if m)
+            total_f32 = sum(4 * int(np.prod(s.shape)) for s, _ in leaves)
+            if trainable_f32 * 3 < 2**30 and trainable_f32 < 0.1 * total_f32:
+                logger.info(
+                    f"offload arm: trainable optimizer state is {trainable_f32 * 3 / 2**20:.0f} MB "
+                    "on a freeze-dominated tree; whole-tree host fetch per update "
+                    "(leaf-group streaming disabled)"
+                )
+                self.streaming_offload = False
         # DeepSpeed ZeRO-Offload bf16 layout: under a host-offloaded optimizer
         # with bf16 compute, the device keeps ONLY the bf16 model copy and the
         # f32 master parameters live on the host with the moments.
@@ -318,9 +337,20 @@ class TrainSession:
         tpu = detect_local_tpu()
         if tpu is None:
             return True  # CPU tests: no HBM ceiling
-        f32_state = sum(
-            4 * int(np.prod(s.shape)) for s in jax.tree.leaves(self.param_shapes)
-        ) * (3 if self.master_offload else 2)
+        # frozen leaves carry NO moments/masters (0-d placeholders): count
+        # only trainable leaves, or llava's 99.6%-frozen tree books 18.7 GB
+        # of phantom state and takes the streamed-init path -- which the
+        # axon AOT compiler rejects with "Unimplemented DMA from hbm to hbm"
+        # when its host arrays later feed the group update programs
+        if self.bundle.trainable_mask is not None:
+            sizes = [
+                int(np.prod(s.shape))
+                for s, m in zip(jax.tree.leaves(self.param_shapes), jax.tree.leaves(self.bundle.trainable_mask))
+                if m
+            ]
+        else:
+            sizes = [int(np.prod(s.shape)) for s in jax.tree.leaves(self.param_shapes)]
+        f32_state = sum(4 * n for n in sizes) * (3 if self.master_offload else 2)
         params_bytes = sum(
             int(np.prod(s.shape)) * s.dtype.itemsize for s in jax.tree.leaves(self.param_shapes)
         )
