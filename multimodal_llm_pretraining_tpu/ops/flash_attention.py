@@ -646,10 +646,13 @@ def flash_attention(
         sm_scale = q.shape[-1] ** -0.5
     b, h, sq, d = q.shape
     kv = k.shape[2]
+    # A/B override for block-size experiments inside the production step
+    # (callers pass no explicit blocks); unset = per-shape auto-tuning
+    env_bq, env_bk = os.environ.get("MLPT_FLASH_BLOCK_Q"), os.environ.get("MLPT_FLASH_BLOCK_K")
     if block_q is None:
-        block_q = _auto_block(sq, DEFAULT_BLOCK_Q)
+        block_q = int(env_bq) if env_bq else _auto_block(sq, DEFAULT_BLOCK_Q)
     if block_k is None:
-        block_k = _auto_block(kv, DEFAULT_BLOCK_K)
+        block_k = int(env_bk) if env_bk else _auto_block(kv, DEFAULT_BLOCK_K)
     qf = q.reshape(b * h, sq, d)
     kf = k.reshape(b * h, kv, d)
     vf = v.reshape(b * h, kv, d)
