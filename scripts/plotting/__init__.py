@@ -59,6 +59,71 @@ def load_results(num_hosts: int, chips_per_host: int, tpu_type: str, model: str)
     return df
 
 
+def _arm_floor_gib(cfg) -> float | None:
+    """Per-chip analytic state floor (GiB) for one arm -- the same number
+    the benchmark fit table's gate uses (offload arms counted host-side)."""
+    import os
+
+    from multimodal_llm_pretraining_tpu.benchmarking.utils import BenchmarkHarness
+
+    os.environ["MLPT_FAKE_HOST_OFFLOAD"] = "1"
+    try:
+        plan = cfg.training_plan(num_training_steps=1, micro_batch_size=1, gradient_accumulation_steps=1)
+        return BenchmarkHarness(plan, cfg.model_class()).analytic_floor_bytes() / 2**30
+    except Exception:  # noqa: BLE001 - floor is advisory in the status export
+        return None
+    finally:
+        del os.environ["MLPT_FAKE_HOST_OFFLOAD"]
+
+
+def load_status_grid(num_hosts: int, chips_per_host: int, tpu_type: str, model: str) -> pd.DataFrame:
+    """Per-arm STATUS rows for every cached experiment of one grid,
+    including probed-infeasible arms (``load_results`` keeps successes
+    only). Schema mirrors ``artifacts/mamba_v5e_search.csv``: config knobs +
+    method label + probe outcome + the analytic state floor."""
+    from multimodal_llm_pretraining_tpu.experiments.sweeps import TrainingTimeEmpiricalSweep
+    from multimodal_llm_pretraining_tpu.tpus import device_hbm_bytes
+
+    sweep = TrainingTimeEmpiricalSweep(
+        search_space=dict(
+            num_hosts=[num_hosts],
+            chips_per_host=[chips_per_host],
+            tpu_type=[tpu_type],
+            model=[model],
+            free_lunch=[False, True],
+            activation_checkpointing=[False, True],
+            checkpoint_policy=["flash", "dots"],
+            sharding=["", "zero_1", "zero_2", "zero_3", "fsdp_shard_grad_op", "fsdp_full_shard"],
+            offloading=[False, True],
+            state_layout=["", "bf16_master", "bf16_sr"],
+            unroll_layers=[False, True],
+        )
+    )
+    budget_gib = device_hbm_bytes(tpu_type) * 0.94 / 2**30  # utils.fits margin
+    rows = []
+    for exp in sweep.experiments():
+        if not exp.is_cached():
+            continue
+        cfg = exp.config
+        row = {k: v for k, v in cfg.__dict__.items() if k not in ("num_hosts", "chips_per_host", "tpu_type", "model", "trial", "benchmarking_steps")}
+        row["method"] = method_label(pd.Series(cfg.__dict__))
+        res = exp.results()
+        for k in ("max_micro_batch_size", "training_days"):
+            v = res.get(k)
+            row[k] = None if v is None or str(v).startswith("StepFailure") else v
+        floor = _arm_floor_gib(cfg)
+        row["analytic_floor_gib"] = round(floor, 2) if floor is not None else None
+        mbs = row["max_micro_batch_size"]
+        if mbs is not None and int(mbs) > 0 and row["training_days"] is not None:
+            row["status"] = "feasible (probed)"
+        elif floor is not None and floor > budget_gib:
+            row["status"] = f"infeasible (analytic state floor {floor:.1f} GiB > {budget_gib:.1f} GiB fit budget)"
+        else:
+            row["status"] = "infeasible (probed: no micro-batch fits)"
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
 def standard_cli(fn):
     import argparse
 

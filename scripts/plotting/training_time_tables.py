@@ -1,14 +1,25 @@
 """Training-time tables per method (parity: plotting/training_time_tables.py:26-89
 -- the reference emits LaTeX tables of days-to-train per method/hardware)."""
 
-from . import load_results, standard_cli
+from . import load_results, load_status_grid, standard_cli
 
 
 def training_time_table(num_hosts, chips_per_host, tpu_type, model, output=None):
     """Days-to-train for every benchmarked method, best first."""
     df = load_results(num_hosts, chips_per_host, tpu_type, model)
     if df.empty:
-        print("no cached results; run scripts/benchmark.py first")
+        # No arm succeeded. If the grid WAS probed (all-infeasible family,
+        # e.g. the custom ViLT or mamba-2.8b on one chip), export the
+        # per-arm status grid instead of silently stranding the CSV.
+        grid = load_status_grid(num_hosts, chips_per_host, tpu_type, model)
+        if grid.empty:
+            print("no cached results; run scripts/benchmark.py first")
+            return
+        if output and not output.endswith(".tex"):
+            grid.to_csv(output, index=False)
+            print(f"wrote {output} (status grid: 0 feasible arms of {len(grid)} probed)")
+        else:
+            print(grid.to_string(index=False))
         return
     cols = ["method", "micro_batch_size", "step_time", "training_days"]
     # protocol transparency: the production (fused) measurement and the
