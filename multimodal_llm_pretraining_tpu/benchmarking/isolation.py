@@ -50,6 +50,16 @@ def _worker_env(env_overrides: dict | None = None) -> dict:
     hosts = env.get("TPU_WORKER_HOSTNAMES")
     if hosts and (" " in hosts or "WARNING" in hosts):
         env["TPU_WORKER_HOSTNAMES"] = "localhost"
+    # The same failed metadata query poisons OTHER TPU_* vars too -- observed
+    # TPU_ACCELERATOR_TYPE carrying 'WARNING: could not determine TPU
+    # accelerator type ...', which kills every child at libtpu init ('Failed
+    # to find host bounds for accelerator type') while the PARENT keeps
+    # working (its plugin initialized before the pollution). Drop any
+    # poisoned TPU_* value: with the var unset the child's own metadata
+    # query runs fresh and (as a clean-shell repro shows) succeeds.
+    for var, val in list(env.items()):
+        if var.startswith("TPU_") and var != "TPU_WORKER_HOSTNAMES" and "WARNING" in val:
+            del env[var]
     # Workers must match the parent's backend. Off-TPU (CPU tests) the
     # parent's virtual device count only exists via env+config, so pass it
     # through explicitly.
@@ -119,9 +129,10 @@ def run_probe_worker(
         if failure == {"infra": True}:
             last_infra = (proc.stdout + proc.stderr)[-2000:]
             if attempt < infra_retries:
+                marker = next((m for m in _INFRA_MARKERS if m in proc.stdout + proc.stderr), "?")
                 logger.info(
                     f"probe worker ({spec.get('op')}) hit a transient backend fault "
-                    f"(rc={proc.returncode}); retry {attempt + 1}/{infra_retries}"
+                    f"({marker!r}, rc={proc.returncode}); retry {attempt + 1}/{infra_retries}"
                 )
                 time.sleep(15.0 * (attempt + 1))
             continue

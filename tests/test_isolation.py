@@ -32,6 +32,23 @@ def _harness():
     return h
 
 
+def test_worker_env_drops_plugin_poisoned_tpu_vars(monkeypatch):
+    """A failed axon metadata query writes WARNING text into TPU_* env vars
+    (TPU_WORKER_HOSTNAMES, TPU_ACCELERATOR_TYPE, ...); children inheriting
+    them die at libtpu init before the backend exists. The worker env maps
+    hostnames to localhost and DROPS any other poisoned TPU_* var so the
+    child's own metadata query runs fresh."""
+    from multimodal_llm_pretraining_tpu.benchmarking.isolation import _worker_env
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "WARNING: could not determine TPU worker hostnames or IP addresses")
+    monkeypatch.setenv("TPU_ACCELERATOR_TYPE", "WARNING: could not determine TPU accelerator type")
+    monkeypatch.setenv("TPU_TEST_CLEAN_VAR", "v5litepod-1")
+    env = _worker_env()
+    assert env["TPU_WORKER_HOSTNAMES"] == "localhost"
+    assert "TPU_ACCELERATOR_TYPE" not in env
+    assert env["TPU_TEST_CLEAN_VAR"] == "v5litepod-1"
+
+
 def test_search_survives_poisoned_runtime_probe():
     """Simulate the failure the subprocess model exists for: runtime probes
     above mbs=2 'die' (as a crashed worker reports False); the parent search
