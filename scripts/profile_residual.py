@@ -145,27 +145,51 @@ def main():
     block_on(batch)
     rng = jax.random.key(0)
 
-    # --- full fused production step
+    # --- full fused production step. The step donates the state buffers, so
+    # each timed call must rethread the returned state (reusing the original
+    # donated arrays kills the execution with INVALID_ARGUMENT on this
+    # backend instead of a clear donation error).
     step = sess.train_step_fn()
-    t_full, (state, metrics) = timeit(lambda: step(state, batch, rng))
+    state, metrics = step(state, batch, rng)
+    block_on((state.params, metrics))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, metrics = step(state, batch, rng)
+        block_on((state.params, metrics))
+        ts.append(time.perf_counter() - t0)
+    t_full = median(ts)
     print(f"full step      : {t_full:8.3f} s", flush=True)
+
+    # Free the fused-step executable and the optimizer state before compiling
+    # the next segment: two resident ~13 GiB programs OOM the 16 GiB chip.
+    params, step_no = state.params, state.step
+    del state, metrics
+    sess._jitted.pop("step").clear_cache()
+    jax.clear_caches()
 
     # --- grads-only (the accumulate scan exactly as the step runs it)
     gfn = sess.grads_fn()
-    t_grads, _ = timeit(lambda: gfn(state.params, sess.zero_grads(), batch, rng, state.step))
+    t_grads, grads_out = timeit(lambda: gfn(params, sess.zero_grads(), batch, rng, step_no))
+    del grads_out
+    sess._jitted.pop("grads").clear_cache()
+    jax.clear_caches()
     print(f"grads-only     : {t_grads:8.3f} s", flush=True)
 
     # --- fwd-only: same microbatch scan, loss only (no grad, no remat cost)
     def fwd_all(params, batch, rng):
         def micro(tot, mb):
-            loss = sess._loss(params, mb, rng)
+            loss, _metrics = sess._loss(params, mb, rng)
             return tot + loss.astype(jnp.float32), None
 
         tot, _ = jax.lax.scan(micro, jnp.float32(0.0), batch)
         return tot
 
     fwd_jit = jax.jit(fwd_all)
-    t_fwd, _ = timeit(lambda: fwd_jit(state.params, batch, rng))
+    t_fwd, _ = timeit(lambda: fwd_jit(params, batch, rng))
+    del params, batch
+    fwd_jit.clear_cache()
+    jax.clear_caches()
     print(f"fwd-only       : {t_fwd:8.3f} s", flush=True)
 
     # --- attention standalone at the production shape (whole-step worth:
