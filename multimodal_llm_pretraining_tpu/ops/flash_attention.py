@@ -250,6 +250,11 @@ def _bwd_fused_kernel(
         lse = lse_ref[0, pl.ds(qi * block_q, block_q), 0]
         delta = delta_ref[0, pl.ds(qi * block_q, block_q), 0]
         s = jax.lax.dot_general(q, k_scaled, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
+        if DP_EARLY:
+            # dp depends only on do/v -- issuing its (MXU) matmul before the
+            # (VPU) exp chain below gives the scheduler a shot at overlapping
+            # the two units instead of serializing s -> exp -> dv -> dp
+            dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
         if masked:
             q_idx = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             mask = jnp.logical_and(kv_keep, q_idx < q_seq)
@@ -258,7 +263,8 @@ def _bwd_fused_kernel(
             s = jnp.where(mask, s, NEG_INF)
         p = jnp.exp(s - lse[:, None])
         dv = dv + jax.lax.dot_general(p.astype(in_dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
-        dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
+        if not DP_EARLY:
+            dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
         ds = (p * (dp - delta[:, None]) * sm_scale).astype(in_dtype)
         dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
         qs = pl.ds(qi * block_q, block_q)
@@ -444,6 +450,14 @@ def _vmem_cap() -> int:
 # MLPT_FLASH_FUSED_BWD=0 opts out.
 PREFER_FUSED_BWD = os.environ.get("MLPT_FLASH_FUSED_BWD", "1") != "0"
 
+# A/B-only experiment gates (default OFF so the shipped program stays
+# byte-identical to the committed measurements):
+#   MLPT_FLASH_DP_EARLY=1     issue the dp matmul before the exp chain in the
+#                             fused backward (MXU/VPU overlap experiment)
+#   MLPT_FLASH_BWD_BLOCK_Q=N  inner q-slice length of the fused backward's
+#                             loop, decoupled from the forward's block_q
+DP_EARLY = os.environ.get("MLPT_FLASH_DP_EARLY", "0") == "1"
+
 
 def _fused_bwd_est(q_pad, head_dim, block_q, block_k) -> int:
     """Analytic lower bound on the fused kernel's VMEM working set:
@@ -485,6 +499,14 @@ def _bwd_impl(causal, sm_scale, block_q, block_k, q, k, v, out, lse, g, kv_lens=
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # [BH, Sq]
 
     fused_plan = _fused_bwd_plan(q_seq, head_dim, block_q, block_k) if PREFER_FUSED_BWD else None
+    env_bwd_bq = os.environ.get("MLPT_FLASH_BWD_BLOCK_Q")
+    if fused_plan is not None and env_bwd_bq:
+        # A/B override: pin the fused backward's inner q-slice length
+        # independently of the forward block; re-derive the VMEM grant
+        bq = int(env_bwd_bq)
+        q_pad_est = q_seq + ((-q_seq) % bq)
+        need = max(int(2.5 * _fused_bwd_est(q_pad_est, head_dim, bq, fused_plan[1])), 16 * 2**20)
+        fused_plan = (bq, fused_plan[1], min(need, _vmem_cap()))
     if fused_plan is not None:
         block_q, block_k, vmem_limit = fused_plan
 

@@ -1,0 +1,179 @@
+"""Standalone flash-attention kernel sweep at the pythia-1b production shape.
+
+Measures fwd-only and fwd+bwd wall time per call for every kernel variant the
+repo can ship (fused/split backward, block sizes, dp-early scheduling) plus
+external baselines (stock jax.experimental pallas flash attention, XLA dots).
+This is the FILTER stage: standalone rankings are known to disagree with
+in-step rankings on this backend (CLAUDE.md kernel-gate lesson), so winners
+here must be confirmed inside the production step via scripts/step_bench.py
+env knobs before changing any default.
+
+Run on a QUIET chip: python scripts/bench_flash_kernel.py [--b 4] [--h 8]
+[--s 2048] [--d 256]
+"""
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def median(xs):
+    return sorted(xs)[len(xs) // 2]
+
+
+def time_fn(fn, args, iters, reps=3):
+    """Time `iters` chained calls inside ONE jit (amortizes ~13 ms dispatch)."""
+    from multimodal_llm_pretraining_tpu.utils import block_on
+
+    @jax.jit
+    def run(args):
+        def body(carry, _):
+            out = fn(*carry)
+            # fold a dependency back into q so the loop can't collapse
+            q = carry[0] + 0.0 * out[..., :1, :1].sum().astype(carry[0].dtype)
+            return (q,) + carry[1:], None
+
+        carry, _ = jax.lax.scan(body, args, None, length=iters)
+        return carry[0][0, 0, 0]
+
+    block_on(run(args))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        block_on(run(args))
+        ts.append(time.perf_counter() - t0)
+    return median(ts) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--b", type=int, default=4)
+    ap.add_argument("--h", type=int, default=8)
+    ap.add_argument("--s", type=int, default=2048)
+    ap.add_argument("--d", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=16)
+    args = ap.parse_args()
+
+    import multimodal_llm_pretraining_tpu.ops.flash_attention as fa
+
+    B, H, S, D = args.b, args.h, args.s, args.d
+    q = jax.random.normal(jax.random.key(0), (B, H, S, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.key(1), (B, H, S, D), jnp.bfloat16)
+    v = jax.random.normal(jax.random.key(2), (B, H, S, D), jnp.bfloat16)
+
+    # causal fwd+bwd model FLOPs (fwd 2 matmuls over the lower triangle; bwd
+    # 5): 3.5x fwd
+    flop_fwd = 4 * B * H * (S * S / 2) * D
+    flop_fb = flop_fwd * 4.5  # fwd runs again under grad + 5-matmul bwd? no:
+    # value_and_grad re-runs fwd (2) + bwd (5) = 7 matmul passes of S^2/2*D
+    flop_fb = 2 * B * H * (S * S / 2) * D * 7
+
+    def loss_fn(attn):
+        def f(q, k, v):
+            return jnp.sum(attn(q, k, v).astype(jnp.float32))
+
+        return f
+
+    results = []
+
+    def measure(name, attn_fn, fwd_only_fn=None):
+        jax.clear_caches()
+        t_fb = time_fn(jax.grad(loss_fn(attn_fn), argnums=(0, 1, 2)), (q, k, v), args.iters)
+        jax.clear_caches()
+        t_f = time_fn(fwd_only_fn or attn_fn, (q, k, v), args.iters)
+        results.append((name, t_f, t_fb))
+        print(
+            f"{name:38s} fwd {t_f*1e3:7.2f} ms ({flop_fwd/t_f/1e12:6.1f} TF)   "
+            f"fwd+bwd {t_fb*1e3:7.2f} ms ({flop_fb/t_fb/1e12:6.1f} TF)",
+            flush=True,
+        )
+
+    def ours(**kw):
+        def f(q, k, v):
+            return fa.flash_attention(q, k, v, causal=True, **kw)
+
+        return f
+
+    def with_globals(fused=True, dp_early=False, bwd_bq=None, **kw):
+        def f(q, k, v):
+            fa.PREFER_FUSED_BWD = fused
+            fa.DP_EARLY = dp_early
+            if bwd_bq:
+                os.environ["MLPT_FLASH_BWD_BLOCK_Q"] = str(bwd_bq)
+            else:
+                os.environ.pop("MLPT_FLASH_BWD_BLOCK_Q", None)
+            try:
+                return fa.flash_attention(q, k, v, causal=True, **kw)
+            finally:
+                fa.PREFER_FUSED_BWD = True
+                fa.DP_EARLY = False
+                os.environ.pop("MLPT_FLASH_BWD_BLOCK_Q", None)
+
+        return f
+
+    # ---- ours: shipped default
+    measure("ours fused bq512 bk512 (default)", with_globals())
+    # ---- ours: dp-early scheduling
+    measure("ours fused + dp_early", with_globals(dp_early=True))
+    # ---- ours: fused inner q-slice variants
+    for bq in (256, 1024, 2048):
+        measure(f"ours fused bwd_bq={bq}", with_globals(bwd_bq=bq))
+    measure("ours fused bwd_bq=2048 + dp_early", with_globals(bwd_bq=2048, dp_early=True))
+    # ---- ours: k-block variants (fwd AND bwd re-plan from these)
+    for bk in (256, 1024):
+        measure(f"ours fused bk={bk}", with_globals(block_k=bk))
+    measure("ours fused bq256 (fwd+bwd)", with_globals(block_q=256))
+    # ---- ours: split backward
+    measure("ours split bwd", with_globals(fused=False))
+    measure("ours split bwd bq256", with_globals(fused=False, block_q=256))
+
+    # ---- stock jax pallas flash attention
+    try:
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention as jax_flash,
+        )
+
+        measure("jax.experimental pallas flash", lambda q, k, v: jax_flash(q, k, v, causal=True))
+    except Exception as e:  # pragma: no cover
+        print(f"stock pallas flash unavailable: {e}")
+
+    # ---- splash attention (MaxText production kernel)
+    try:
+        from jax.experimental.pallas.ops.tpu.splash_attention import (
+            splash_attention_kernel as sk,
+            splash_attention_mask as sm,
+        )
+
+        mask = sm.MultiHeadMask([sm.CausalMask((S, S)) for _ in range(H)])
+        kernel = sk.make_splash_mha(mask=mask, head_shards=1, q_seq_shards=1)
+
+        @jax.vmap
+        def splash(q, k, v):
+            return kernel(q * (D**-0.5), k, v)
+
+        measure("splash attention (vmap batch)", splash)
+    except Exception as e:  # pragma: no cover
+        print(f"splash attention unavailable: {e}")
+
+    # ---- XLA dots reference
+    def xla_attn(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * (D**-0.5)
+        mask = jnp.tril(jnp.ones((S, S), bool))
+        s = jnp.where(mask, s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype), v)
+
+    measure("XLA dots (materialized scores)", xla_attn)
+
+    print("\nbest fwd+bwd:", min(results, key=lambda r: r[2])[0])
+
+
+if __name__ == "__main__":
+    main()
