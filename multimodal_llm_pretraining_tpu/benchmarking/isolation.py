@@ -39,26 +39,49 @@ _LOWERING_MARKERS = ("Mosaic", "mosaic", "Pallas", "pallas", "lowering", "Unimpl
 from ..utils import INFRA_MARKERS as _INFRA_MARKERS  # noqa: E402
 
 
+# TPU worker metadata the axon plugin writes into os.environ on a SUCCESSFUL
+# backend init (observed on this runtime: TPU_WORKER_HOSTNAMES=localhost,
+# TPU_ACCELERATOR_TYPE=v5litepod-4, TPU_TOPOLOGY=1x1). When the plugin's
+# metadata query fails it writes its WARNING TEXT into these vars instead,
+# and a child inheriting them -- or re-querying under tunnel contention --
+# dies at libtpu init before the backend exists. _worker_env snapshots the
+# first clean values it sees so poisoned/missing vars can be repaired from a
+# known-good source instead of trusting the child's own flaky query.
+_TPU_METADATA_VARS = ("TPU_WORKER_HOSTNAMES", "TPU_ACCELERATOR_TYPE", "TPU_TOPOLOGY")
+_CLEAN_TPU_ENV: dict = {}
+
+
+def _remember_clean_tpu_env() -> None:
+    for var in _TPU_METADATA_VARS:
+        val = os.environ.get(var)
+        if val and "WARNING" not in val and " " not in val and var not in _CLEAN_TPU_ENV:
+            _CLEAN_TPU_ENV[var] = val
+
+
 def _worker_env(env_overrides: dict | None = None) -> dict:
+    _remember_clean_tpu_env()
     env = dict(os.environ)
-    # The axon plugin writes TPU worker metadata into os.environ at backend
-    # init; when its metadata query fails it stores its WARNING TEXT in
-    # TPU_WORKER_HOSTNAMES, which the child's libtpu then rejects with
-    # INVALID_ARGUMENT before the backend ever comes up (observed killing 6
-    # probe workers in one sweep). Single-host probe workers are always
-    # localhost: sanitize anything that isn't a plausible hostname list.
-    hosts = env.get("TPU_WORKER_HOSTNAMES")
-    if hosts and (" " in hosts or "WARNING" in hosts):
-        env["TPU_WORKER_HOSTNAMES"] = "localhost"
-    # The same failed metadata query poisons OTHER TPU_* vars too -- observed
-    # TPU_ACCELERATOR_TYPE carrying 'WARNING: could not determine TPU
-    # accelerator type ...', which kills every child at libtpu init ('Failed
-    # to find host bounds for accelerator type') while the PARENT keeps
-    # working (its plugin initialized before the pollution). Drop any
-    # poisoned TPU_* value: with the var unset the child's own metadata
-    # query runs fresh and (as a clean-shell repro shows) succeeds.
+    # Repair plugin-poisoned or missing TPU metadata from the clean snapshot.
+    # Observed failure modes this prevents (each killed whole probe sweeps):
+    #  - TPU_WORKER_HOSTNAMES carrying 'WARNING: could not determine ...'
+    #    -> child libtpu: INVALID_ARGUMENT 'unexpected worker hostname'
+    #  - TPU_ACCELERATOR_TYPE carrying WARNING text -> 'Failed to find host
+    #    bounds for accelerator type'
+    #  - vars dropped entirely -> the child re-queries metadata itself, which
+    #    fails transiently under tunnel contention with the same two errors.
+    for var in _TPU_METADATA_VARS:
+        val = env.get(var)
+        poisoned = val is not None and ("WARNING" in val or " " in val)
+        if poisoned or val is None:
+            if var in _CLEAN_TPU_ENV:
+                env[var] = _CLEAN_TPU_ENV[var]
+            elif var == "TPU_WORKER_HOSTNAMES" and poisoned:
+                env[var] = "localhost"  # single-host probe workers by design
+            elif poisoned:
+                del env[var]
+    # Any OTHER poisoned TPU_* var: drop it (unset beats WARNING text).
     for var, val in list(env.items()):
-        if var.startswith("TPU_") and var != "TPU_WORKER_HOSTNAMES" and "WARNING" in val:
+        if var.startswith("TPU_") and var not in _TPU_METADATA_VARS and "WARNING" in val:
             del env[var]
     # Workers must match the parent's backend. Off-TPU (CPU tests) the
     # parent's virtual device count only exists via env+config, so pass it

@@ -35,18 +35,43 @@ def _harness():
 def test_worker_env_drops_plugin_poisoned_tpu_vars(monkeypatch):
     """A failed axon metadata query writes WARNING text into TPU_* env vars
     (TPU_WORKER_HOSTNAMES, TPU_ACCELERATOR_TYPE, ...); children inheriting
-    them die at libtpu init before the backend exists. The worker env maps
-    hostnames to localhost and DROPS any other poisoned TPU_* var so the
-    child's own metadata query runs fresh."""
-    from multimodal_llm_pretraining_tpu.benchmarking.isolation import _worker_env
+    them die at libtpu init before the backend exists. With no clean
+    snapshot available the worker env maps hostnames to localhost and DROPS
+    any other poisoned TPU_* var so the child's own metadata query runs
+    fresh."""
+    from multimodal_llm_pretraining_tpu.benchmarking import isolation
 
+    monkeypatch.setattr(isolation, "_CLEAN_TPU_ENV", {})
     monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "WARNING: could not determine TPU worker hostnames or IP addresses")
     monkeypatch.setenv("TPU_ACCELERATOR_TYPE", "WARNING: could not determine TPU accelerator type")
     monkeypatch.setenv("TPU_TEST_CLEAN_VAR", "v5litepod-1")
-    env = _worker_env()
+    env = isolation._worker_env()
     assert env["TPU_WORKER_HOSTNAMES"] == "localhost"
     assert "TPU_ACCELERATOR_TYPE" not in env
     assert env["TPU_TEST_CLEAN_VAR"] == "v5litepod-1"
+
+
+def test_worker_env_repairs_from_clean_snapshot(monkeypatch):
+    """The first _worker_env call on a healthy parent snapshots the plugin's
+    clean metadata; later poisoned OR missing values are repaired from the
+    snapshot (the child never depends on its own metadata query, which fails
+    transiently under tunnel contention)."""
+    from multimodal_llm_pretraining_tpu.benchmarking import isolation
+
+    monkeypatch.setattr(isolation, "_CLEAN_TPU_ENV", {})
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    monkeypatch.setenv("TPU_ACCELERATOR_TYPE", "v5litepod-4")
+    monkeypatch.setenv("TPU_TOPOLOGY", "1x1")
+    env = isolation._worker_env()
+    assert env["TPU_ACCELERATOR_TYPE"] == "v5litepod-4"
+
+    # poisoned later in the parent's lifetime -> repaired, not dropped
+    monkeypatch.setenv("TPU_ACCELERATOR_TYPE", "WARNING: could not determine TPU accelerator type")
+    monkeypatch.delenv("TPU_TOPOLOGY")
+    env = isolation._worker_env()
+    assert env["TPU_ACCELERATOR_TYPE"] == "v5litepod-4"
+    assert env["TPU_TOPOLOGY"] == "1x1"  # missing var backfilled
+    assert env["TPU_WORKER_HOSTNAMES"] == "localhost"
 
 
 def test_search_survives_poisoned_runtime_probe():
