@@ -50,6 +50,33 @@ from ..utils import INFRA_MARKERS as _INFRA_MARKERS  # noqa: E402
 _TPU_METADATA_VARS = ("TPU_WORKER_HOSTNAMES", "TPU_ACCELERATOR_TYPE", "TPU_TOPOLOGY")
 _CLEAN_TPU_ENV: dict = {}
 
+# Last-resort pins when the parent never saw clean values (its OWN init query
+# failed): verified on this runtime by spawning a child with these pinned
+# while the parent held the tunnel -- init succeeds and libtpu leaves the env
+# alone. Without a complete set, libtpu re-queries and overwrites ALL of them
+# with its WARNING text on failure. Only the single-chip v5e runtime is
+# evidence-based; other generations fall through to the old drop-and-requery
+# behavior.
+_LAST_RESORT_BY_GEN = {
+    "v5e": {
+        "TPU_WORKER_HOSTNAMES": "localhost",
+        "TPU_ACCELERATOR_TYPE": "v5litepod-4",
+        "TPU_TOPOLOGY": "1x1",
+    }
+}
+
+
+def _last_resort_tpu_env() -> dict:
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN")
+    if gen is None:
+        try:
+            from ..tpus import detect_local_tpu
+
+            gen = detect_local_tpu()
+        except Exception:
+            gen = None
+    return _LAST_RESORT_BY_GEN.get(gen or "", {})
+
 
 def _remember_clean_tpu_env() -> None:
     for var in _TPU_METADATA_VARS:
@@ -69,12 +96,18 @@ def _worker_env(env_overrides: dict | None = None) -> dict:
     #    bounds for accelerator type'
     #  - vars dropped entirely -> the child re-queries metadata itself, which
     #    fails transiently under tunnel contention with the same two errors.
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    last_resort = _last_resort_tpu_env() if on_tpu else {}
     for var in _TPU_METADATA_VARS:
         val = env.get(var)
         poisoned = val is not None and ("WARNING" in val or " " in val)
         if poisoned or val is None:
             if var in _CLEAN_TPU_ENV:
                 env[var] = _CLEAN_TPU_ENV[var]
+            elif var in last_resort:
+                env[var] = last_resort[var]
             elif var == "TPU_WORKER_HOSTNAMES" and poisoned:
                 env[var] = "localhost"  # single-host probe workers by design
             elif poisoned:
