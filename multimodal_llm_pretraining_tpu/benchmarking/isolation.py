@@ -138,6 +138,60 @@ def _worker_env(env_overrides: dict | None = None) -> dict:
     return env
 
 
+# A stage-level `timeout`/SIGTERM kills the sweep driver but NOT its probe
+# worker grandchild, which then keeps holding the TPU tunnel and starves
+# every later process (metadata queries fail -> 'unexpected worker hostname'
+# deaths across whole sweeps). Track the active worker and reap it on
+# SIGTERM before re-raising the default disposition.
+_ACTIVE_WORKER = None
+_SIGTERM_INSTALLED = False
+
+
+def _install_sigterm_cleanup() -> None:
+    global _SIGTERM_INSTALLED
+    if _SIGTERM_INSTALLED:
+        return
+    import signal
+    import threading
+
+    if threading.current_thread() is not threading.main_thread():
+        return  # signal handlers only install from the main thread
+
+    def _handler(signum, frame):
+        proc = _ACTIVE_WORKER
+        if proc is not None and proc.poll() is None:
+            proc.kill()
+        signal.signal(signum, signal.SIG_DFL)
+        os.kill(os.getpid(), signum)
+
+    try:
+        signal.signal(signal.SIGTERM, _handler)
+        _SIGTERM_INSTALLED = True
+    except ValueError:  # non-main-thread race fallback
+        pass
+
+
+def _run_tracked(cmd, input, timeout, env, cwd):
+    """subprocess.run equivalent that records the live child so the SIGTERM
+    handler can reap it (run() hides its Popen). Kills the child on timeout,
+    same as subprocess.run."""
+    global _ACTIVE_WORKER
+    proc = subprocess.Popen(
+        cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True, env=env, cwd=cwd,
+    )
+    _ACTIVE_WORKER = proc
+    try:
+        stdout, stderr = proc.communicate(input=input, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        stdout, stderr = proc.communicate()
+        raise subprocess.TimeoutExpired(cmd, timeout, output=stdout, stderr=stderr)
+    finally:
+        _ACTIVE_WORKER = None
+    return subprocess.CompletedProcess(cmd, proc.returncode, stdout, stderr)
+
+
 def classify_worker_failure(output: str) -> dict | None:
     """Map worker output to a structured failure, or None if unrecognized."""
     from .utils import _OOM_MARKERS
@@ -155,7 +209,7 @@ def run_probe_worker(
     spec: dict,
     timeout: float = 3600.0,
     env_overrides: dict | None = None,
-    infra_retries: int = 4,
+    infra_retries: int = 2,
 ) -> dict:
     """Run one probe op in a disposable worker process.
 
@@ -165,17 +219,26 @@ def run_probe_worker(
     ``InfrastructureError``), and raises RuntimeError on unclassifiable
     failures.
     """
+    _install_sigterm_cleanup()
     last_infra = ""
     for attempt in range(infra_retries + 1):
-        proc = subprocess.run(
-            [sys.executable, "-m", "multimodal_llm_pretraining_tpu.benchmarking.probe_worker"],
-            input=json.dumps(spec),
-            capture_output=True,
-            text=True,
-            timeout=timeout,
-            env=_worker_env(env_overrides),
-            cwd=os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        )
+        try:
+            proc = _run_tracked(
+                [sys.executable, "-m", "multimodal_llm_pretraining_tpu.benchmarking.probe_worker"],
+                input=json.dumps(spec),
+                timeout=timeout,
+                env=_worker_env(env_overrides),
+                cwd=os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            )
+        except subprocess.TimeoutExpired as e:
+            # A hung worker says nothing about the arm (observed: tunnel
+            # contention stretches remote compiles past any sane bound).
+            # Never cache this as an arm failure; no in-loop retry either --
+            # another hang would burn the same wall-clock again.
+            raise InfrastructureError(
+                f"probe worker ({spec.get('op')}) hung past {timeout:.0f}s; "
+                f"stderr tail: {str(e.stderr)[-500:]}"
+            ) from None
         for line in reversed(proc.stdout.splitlines()):
             if line.startswith(RESULT_PREFIX):
                 result = json.loads(line[len(RESULT_PREFIX):])

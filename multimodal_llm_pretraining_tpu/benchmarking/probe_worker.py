@@ -103,7 +103,27 @@ def run(spec: dict) -> dict:
     raise ValueError(f"unknown op {spec['op']!r}")
 
 
+def _repair_tpu_env() -> None:
+    """Self-repair poisoned/missing TPU metadata BEFORE backend init.
+
+    Belt to the parent-side ``_worker_env`` suspenders: whatever env this
+    process inherited, a complete clean (hostnames, accelerator type,
+    topology) triple stops libtpu from re-querying metadata -- the query
+    fails transiently under tunnel contention and overwrites ALL of these
+    vars with WARNING text, killing the worker at init."""
+    from .isolation import _TPU_METADATA_VARS, _last_resort_tpu_env
+
+    pins = _last_resort_tpu_env()
+    for var in _TPU_METADATA_VARS:
+        val = os.environ.get(var)
+        if (val is None or "WARNING" in val or " " in val) and var in pins:
+            os.environ[var] = pins[var]
+    triple = {var: os.environ.get(var) for var in _TPU_METADATA_VARS}
+    print(f"[probe_worker] TPU metadata env at start: {triple}", file=sys.stderr, flush=True)
+
+
 def main() -> None:
+    _repair_tpu_env()
     spec = json.loads(sys.stdin.read())
     result = run(spec)
     print("MLPT_RESULT:" + json.dumps(result), flush=True)

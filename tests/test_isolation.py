@@ -120,7 +120,7 @@ def test_probe_worker_retries_transient_backend_faults(monkeypatch):
             return _fake_completed(1, stderr="JaxRuntimeError: UNAVAILABLE: TPU device error")
         return _fake_completed(0, stdout='MLPT_RESULT:{"ok": true, "value": 7}\n')
 
-    monkeypatch.setattr(isolation.subprocess, "run", fake_run)
+    monkeypatch.setattr(isolation, "_run_tracked", fake_run)
     monkeypatch.setattr(isolation.time, "sleep", lambda s: None)
     result = isolation.run_probe_worker({"op": "confirm"}, infra_retries=2)
     assert result == {"ok": True, "value": 7}
@@ -132,12 +132,34 @@ def test_probe_worker_raises_infrastructure_error_when_fault_persists(monkeypatc
     from multimodal_llm_pretraining_tpu.utils import InfrastructureError
 
     monkeypatch.setattr(
-        isolation.subprocess, "run",
+        isolation, "_run_tracked",
         lambda cmd, **kw: _fake_completed(1, stderr="UNAVAILABLE: TPU device error"),
     )
     monkeypatch.setattr(isolation.time, "sleep", lambda s: None)
     with pytest.raises(InfrastructureError, match="backend faults"):
         isolation.run_probe_worker({"op": "confirm"}, infra_retries=1)
+
+
+def test_probe_worker_hang_is_infrastructure_not_arm_failure(monkeypatch):
+    """A worker hung past its deadline (tunnel contention stretches remote
+    compiles arbitrarily) must surface as InfrastructureError -- never cached
+    as an arm result -- and must not retry (another hang would burn the same
+    wall clock again)."""
+    import subprocess as sp
+
+    from multimodal_llm_pretraining_tpu.benchmarking import isolation
+    from multimodal_llm_pretraining_tpu.utils import InfrastructureError
+
+    calls = []
+
+    def fake_run(cmd, **kw):
+        calls.append(1)
+        raise sp.TimeoutExpired(cmd, kw.get("timeout"), output="", stderr="")
+
+    monkeypatch.setattr(isolation, "_run_tracked", fake_run)
+    with pytest.raises(InfrastructureError, match="hung past"):
+        isolation.run_probe_worker({"op": "confirm"}, timeout=5.0)
+    assert len(calls) == 1
 
 
 @pytest.mark.slow
