@@ -67,14 +67,13 @@ _LAST_RESORT_BY_GEN = {
 
 
 def _last_resort_tpu_env() -> dict:
+    """Env-only lookup: reads ``PALLAS_AXON_TPU_GEN`` (exported by the parent
+    in ``_worker_env``). Deliberately never probes ``jax.devices()`` -- probe
+    workers call this BEFORE backend config, where a device probe would (1)
+    init the default TPU backend in CPU-mode workers (tunnel contention) and
+    (2) in the poisoned-env case fail, apply no pins, and leave the failed
+    init cached in-process -- defeating the self-repair entirely."""
     gen = os.environ.get("PALLAS_AXON_TPU_GEN")
-    if gen is None:
-        try:
-            from ..tpus import detect_local_tpu
-
-            gen = detect_local_tpu()
-        except Exception:
-            gen = None
     return _LAST_RESORT_BY_GEN.get(gen or "", {})
 
 
@@ -99,6 +98,16 @@ def _worker_env(env_overrides: dict | None = None) -> dict:
     import jax
 
     on_tpu = jax.default_backend() == "tpu"
+    # Export the detected TPU generation so children can resolve last-resort
+    # pins from env alone (the parent's backend is already initialized here,
+    # so detect_local_tpu is safe ONLY on this side of the fork).
+    if on_tpu and not os.environ.get("PALLAS_AXON_TPU_GEN"):
+        from ..tpus import detect_local_tpu
+
+        gen = detect_local_tpu()
+        if gen:
+            os.environ["PALLAS_AXON_TPU_GEN"] = gen
+            env["PALLAS_AXON_TPU_GEN"] = gen
     last_resort = _last_resort_tpu_env() if on_tpu else {}
     for var in _TPU_METADATA_VARS:
         val = env.get(var)

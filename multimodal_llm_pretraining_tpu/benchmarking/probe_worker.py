@@ -110,7 +110,15 @@ def _repair_tpu_env() -> None:
     process inherited, a complete clean (hostnames, accelerator type,
     topology) triple stops libtpu from re-querying metadata -- the query
     fails transiently under tunnel contention and overwrites ALL of these
-    vars with WARNING text, killing the worker at init."""
+    vars with WARNING text, killing the worker at init.
+
+    MUST run before any jax import/backend init and must never itself
+    initialize a backend: pins come from env only (the parent exports
+    PALLAS_AXON_TPU_GEN in ``_worker_env``). CPU-mode workers (slow test
+    matrix) skip entirely -- they never touch libtpu."""
+    platform = os.environ.get("MLPT_WORKER_PLATFORM")
+    if platform and platform != "tpu":
+        return
     from .isolation import _TPU_METADATA_VARS, _last_resort_tpu_env
 
     pins = _last_resort_tpu_env()

@@ -206,7 +206,7 @@ def _bwd_dq_kernel(*refs, sm_scale, causal, block_k, kv_seq, varlen=False):
 
 
 def _bwd_fused_kernel(
-    *refs, sm_scale, causal, block_q, q_seq, kv_seq, varlen=False,
+    *refs, sm_scale, causal, block_q, q_seq, kv_seq, varlen=False, dp_early=False,
 ):
     """Single-pass backward: dq, dk, dv from ONE score/probability tile.
 
@@ -250,7 +250,7 @@ def _bwd_fused_kernel(
         lse = lse_ref[0, pl.ds(qi * block_q, block_q), 0]
         delta = delta_ref[0, pl.ds(qi * block_q, block_q), 0]
         s = jax.lax.dot_general(q, k_scaled, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
-        if DP_EARLY:
+        if dp_early:
             # dp depends only on do/v -- issuing its (MXU) matmul before the
             # (VPU) exp chain below gives the scheduler a shot at overlapping
             # the two units instead of serializing s -> exp -> dv -> dp
@@ -263,7 +263,7 @@ def _bwd_fused_kernel(
             s = jnp.where(mask, s, NEG_INF)
         p = jnp.exp(s - lse[:, None])
         dv = dv + jax.lax.dot_general(p.astype(in_dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
-        if not DP_EARLY:
+        if not dp_early:
             dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
         ds = (p * (dp - delta[:, None]) * sm_scale).astype(in_dtype)
         dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
@@ -456,6 +456,9 @@ PREFER_FUSED_BWD = os.environ.get("MLPT_FLASH_FUSED_BWD", "1") != "0"
 #                             fused backward (MXU/VPU overlap experiment)
 #   MLPT_FLASH_BWD_BLOCK_Q=N  inner q-slice length of the fused backward's
 #                             loop, decoupled from the forward's block_q
+# Both env gates are read at TRACE time (every _bwd_impl call), so in-process
+# A/B runs that set them after import take effect; the module global is the
+# programmatic override the sweep script flips directly.
 DP_EARLY = os.environ.get("MLPT_FLASH_DP_EARLY", "0") == "1"
 
 
@@ -498,15 +501,19 @@ def _bwd_impl(causal, sm_scale, block_q, block_k, q, k, v, out, lse, g, kv_lens=
 
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # [BH, Sq]
 
+    dp_early = DP_EARLY or os.environ.get("MLPT_FLASH_DP_EARLY", "0") == "1"
     fused_plan = _fused_bwd_plan(q_seq, head_dim, block_q, block_k) if PREFER_FUSED_BWD else None
     env_bwd_bq = os.environ.get("MLPT_FLASH_BWD_BLOCK_Q")
     if fused_plan is not None and env_bwd_bq:
         # A/B override: pin the fused backward's inner q-slice length
-        # independently of the forward block; re-derive the VMEM grant
+        # independently of the forward block; re-derive the VMEM grant.
+        # An override whose working set exceeds the cap falls back to the
+        # split kernels (mirroring _fused_bwd_plan) instead of compiling
+        # the fused kernel with an undersized grant (Mosaic compile error).
         bq = int(env_bwd_bq)
         q_pad_est = q_seq + ((-q_seq) % bq)
         need = max(int(2.5 * _fused_bwd_est(q_pad_est, head_dim, bq, fused_plan[1])), 16 * 2**20)
-        fused_plan = (bq, fused_plan[1], min(need, _vmem_cap()))
+        fused_plan = (bq, fused_plan[1], need) if need <= _vmem_cap() else None
     if fused_plan is not None:
         block_q, block_k, vmem_limit = fused_plan
 
@@ -520,7 +527,7 @@ def _bwd_impl(causal, sm_scale, block_q, block_k, q, k, v, out, lse, g, kv_lens=
 
     if fused_plan is not None:
         dq, dk, dv = pl.pallas_call(
-            functools.partial(_bwd_fused_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q, q_seq=q_seq, kv_seq=kv_seq, varlen=varlen),
+            functools.partial(_bwd_fused_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q, q_seq=q_seq, kv_seq=kv_seq, varlen=varlen, dp_early=dp_early),
             grid=(bh, kv_pad // block_k),
             in_specs=lens_spec + [
                 pl.BlockSpec((1, q_pad, head_dim), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),

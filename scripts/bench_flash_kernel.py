@@ -83,11 +83,28 @@ def main():
 
     results = []
 
-    def measure(name, attn_fn, fwd_only_fn=None):
-        jax.clear_caches()
-        t_fb = time_fn(jax.grad(loss_fn(attn_fn), argnums=(0, 1, 2)), (q, k, v), args.iters)
-        jax.clear_caches()
-        t_f = time_fn(fwd_only_fn or attn_fn, (q, k, v), args.iters)
+    def measure(name, attn_fn, fwd_only_fn=None, settings=None):
+        # Apply globals/env for the WHOLE measure: the custom_vjp backward
+        # rule traces lazily (after the forward returns), so settings must
+        # stay live across trace + timing, not just inside the traced fwd.
+        fused, dp_early, bwd_bq = (settings or {}).get("fused", True), (settings or {}).get("dp_early", False), (settings or {}).get("bwd_bq")
+        prior = (fa.PREFER_FUSED_BWD, fa.DP_EARLY, os.environ.get("MLPT_FLASH_BWD_BLOCK_Q"))
+        fa.PREFER_FUSED_BWD, fa.DP_EARLY = fused, dp_early
+        if bwd_bq:
+            os.environ["MLPT_FLASH_BWD_BLOCK_Q"] = str(bwd_bq)
+        else:
+            os.environ.pop("MLPT_FLASH_BWD_BLOCK_Q", None)
+        try:
+            jax.clear_caches()
+            t_fb = time_fn(jax.grad(loss_fn(attn_fn), argnums=(0, 1, 2)), (q, k, v), args.iters)
+            jax.clear_caches()
+            t_f = time_fn(fwd_only_fn or attn_fn, (q, k, v), args.iters)
+        finally:
+            fa.PREFER_FUSED_BWD, fa.DP_EARLY = prior[0], prior[1]
+            if prior[2] is None:
+                os.environ.pop("MLPT_FLASH_BWD_BLOCK_Q", None)
+            else:
+                os.environ["MLPT_FLASH_BWD_BLOCK_Q"] = prior[2]
         results.append((name, t_f, t_fb))
         print(
             f"{name:38s} fwd {t_f*1e3:7.2f} ms ({flop_fwd/t_f/1e12:6.1f} TF)   "
@@ -102,37 +119,28 @@ def main():
         return f
 
     def with_globals(fused=True, dp_early=False, bwd_bq=None, **kw):
-        def f(q, k, v):
-            fa.PREFER_FUSED_BWD = fused
-            fa.DP_EARLY = dp_early
-            if bwd_bq:
-                os.environ["MLPT_FLASH_BWD_BLOCK_Q"] = str(bwd_bq)
-            else:
-                os.environ.pop("MLPT_FLASH_BWD_BLOCK_Q", None)
-            try:
-                return fa.flash_attention(q, k, v, causal=True, **kw)
-            finally:
-                fa.PREFER_FUSED_BWD = True
-                fa.DP_EARLY = False
-                os.environ.pop("MLPT_FLASH_BWD_BLOCK_Q", None)
+        """Kernel-call kwargs only; fused/dp_early/bwd_bq ride `settings`."""
+        return ours(**kw), {"fused": fused, "dp_early": dp_early, "bwd_bq": bwd_bq}
 
-        return f
+    def measure_ours(name, **kw):
+        fn, settings = with_globals(**kw)
+        measure(name, fn, settings=settings)
 
     # ---- ours: shipped default
-    measure("ours fused bq512 bk512 (default)", with_globals())
+    measure_ours("ours fused bq512 bk512 (default)")
     # ---- ours: dp-early scheduling
-    measure("ours fused + dp_early", with_globals(dp_early=True))
+    measure_ours("ours fused + dp_early", dp_early=True)
     # ---- ours: fused inner q-slice variants
     for bq in (256, 1024, 2048):
-        measure(f"ours fused bwd_bq={bq}", with_globals(bwd_bq=bq))
-    measure("ours fused bwd_bq=2048 + dp_early", with_globals(bwd_bq=2048, dp_early=True))
+        measure_ours(f"ours fused bwd_bq={bq}", bwd_bq=bq)
+    measure_ours("ours fused bwd_bq=2048 + dp_early", bwd_bq=2048, dp_early=True)
     # ---- ours: k-block variants (fwd AND bwd re-plan from these)
     for bk in (256, 1024):
-        measure(f"ours fused bk={bk}", with_globals(block_k=bk))
-    measure("ours fused bq256 (fwd+bwd)", with_globals(block_q=256))
+        measure_ours(f"ours fused bk={bk}", block_k=bk)
+    measure_ours("ours fused bq256 (fwd+bwd)", block_q=256)
     # ---- ours: split backward
-    measure("ours split bwd", with_globals(fused=False))
-    measure("ours split bwd bq256", with_globals(fused=False, block_q=256))
+    measure_ours("ours split bwd", fused=False)
+    measure_ours("ours split bwd bq256", fused=False, block_q=256)
 
     # ---- stock jax pallas flash attention
     try:

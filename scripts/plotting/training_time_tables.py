@@ -1,7 +1,26 @@
 """Training-time tables per method (parity: plotting/training_time_tables.py:26-89
 -- the reference emits LaTeX tables of days-to-train per method/hardware)."""
 
-from . import load_results, load_status_grid, standard_cli
+from . import load_results, load_status_grid, method_label, standard_cli, unresolved_arms
+
+
+def _raise_if_unresolved(num_hosts, chips_per_host, tpu_type, model, already_in_output: bool):
+    """An arm that ran but has no cached result must fail the export loudly
+    (round-4 verdict: silently dropped arms read as covered-everything).
+    When the unresolved arms ARE exported (status-grid path) this only
+    raises so refresh_artifacts exits non-zero; the file is written first."""
+    import pandas as pd
+
+    missing = unresolved_arms(num_hosts, chips_per_host, tpu_type, model)
+    if not missing:
+        return
+    labels = [method_label(pd.Series(exp.config.__dict__)) for exp in missing]
+    note = "exported as status=unresolved" if already_in_output else "NOT in the success table"
+    raise RuntimeError(
+        f"{model}: {len(missing)} valid grid arms have no cached result ({note}): "
+        + ", ".join(labels)
+        + " -- re-run scripts/benchmark.py --methods all for this family"
+    )
 
 
 def training_time_table(num_hosts, chips_per_host, tpu_type, model, output=None):
@@ -17,9 +36,11 @@ def training_time_table(num_hosts, chips_per_host, tpu_type, model, output=None)
             return
         if output and not output.endswith(".tex"):
             grid.to_csv(output, index=False)
-            print(f"wrote {output} (status grid: 0 feasible arms of {len(grid)} probed)")
+            n_unres = int(grid["status"].str.startswith("unresolved").sum())
+            print(f"wrote {output} (status grid: 0 feasible arms of {len(grid)} valid; {n_unres} unresolved)")
         else:
             print(grid.to_string(index=False))
+        _raise_if_unresolved(num_hosts, chips_per_host, tpu_type, model, already_in_output=True)
         return
     cols = ["method", "micro_batch_size", "step_time", "training_days"]
     # protocol transparency: the production (fused) measurement and the
@@ -35,6 +56,7 @@ def training_time_table(num_hosts, chips_per_host, tpu_type, model, output=None)
         print(f"wrote {output}")
     else:
         print(table.to_string(index=False))
+    _raise_if_unresolved(num_hosts, chips_per_host, tpu_type, model, already_in_output=False)
 
 
 if __name__ == "__main__":

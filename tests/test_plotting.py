@@ -27,9 +27,23 @@ def fake_results(monkeypatch):
 
 
 def test_training_time_table(fake_results, capsys):
+    """The success table prints, then the export FAILS LOUDLY because the
+    fabricated workspace leaves every other valid grid arm unresolved
+    (round-4 verdict: silently dropped arms read as covered-everything)."""
     from scripts.plotting.training_time_tables import training_time_table
 
-    training_time_table(1, 1, "v5e", "pythia-160m")
+    with pytest.raises(RuntimeError, match="no cached result"):
+        training_time_table(1, 1, "v5e", "pythia-160m")
+    out = capsys.readouterr().out
+    assert "naive" in out and "356" in out
+
+
+def test_training_time_table_clean_when_grid_complete(fake_results, monkeypatch, capsys):
+    """No unresolved arms -> no raise (the complete-grid steady state)."""
+    import scripts.plotting.training_time_tables as ttt
+
+    monkeypatch.setattr(ttt, "unresolved_arms", lambda *a, **k: [])
+    ttt.training_time_table(1, 1, "v5e", "pythia-160m")
     out = capsys.readouterr().out
     assert "naive" in out and "356" in out
 
