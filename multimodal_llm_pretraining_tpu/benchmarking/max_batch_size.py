@@ -25,21 +25,34 @@ from .utils import BenchmarkHarness
 logger = get_logger()
 
 
+# Static-vs-runtime calibration band for the fused ground-truth probe: the
+# fit table analyzes the STANDALONE accumulate program, whose footprint
+# overestimates the production fused step by up to ~21% (pythia-1b dots
+# mbs 4: predicted 16.2 GiB, executes in 13.4 -- the buffer reuse inside
+# one jit the static picture cannot see). A statically rejected candidate
+# whose prediction exceeds budget by MORE than this band cannot be rescued
+# by reuse; probing it just burns a multi-minute OOM worker (round-4
+# convnext arms each wasted ~4.5 min on upgrade probes at 1.49x budget).
+UPGRADE_RATIO_BAND = 1.30
+
+
 def predicted_fit_table(
     harness: BenchmarkHarness, limit: int, hbm_budget_bytes: int | None = None
-) -> dict[int, bool]:
+) -> tuple[dict[int, bool], dict[int, float | None]]:
     """AOT-compile every power-of-2 candidate up to ``limit`` and record
-    whether it fits the HBM budget. Pure compile-time: safe in-process."""
+    whether it fits the HBM budget, plus the predicted/budget ratio (the
+    upgrade hook's worth-probing signal). Pure compile-time: safe in-process."""
     table: dict[int, bool] = {}
+    ratios: dict[int, float | None] = {}
     mbs = 1
     while mbs <= limit:
-        table[mbs] = harness.fits(mbs, hbm_budget_bytes=hbm_budget_bytes)
+        table[mbs], ratios[mbs] = harness.fit_check(mbs, hbm_budget_bytes=hbm_budget_bytes)
         logger.info(f"fit table: mbs={mbs} -> {'fits' if table[mbs] else 'over budget'}")
         if not table[mbs]:
             break
         mbs *= 2
     harness.release_probe()  # free probe executables before any real run
-    return table
+    return table, ratios
 
 
 def find_max_mbs_pow2(
@@ -67,7 +80,7 @@ def find_max_mbs_pow2(
     run-and-catch-OOM search has this ground truth built in,
     ``/root/reference/src/benchmarking/max_batch_size.py:11-25``).
     """
-    table = predicted_fit_table(harness, limit, hbm_budget_bytes)
+    table, ratios = predicted_fit_table(harness, limit, hbm_budget_bytes)
     best = max((m for m, ok in table.items() if ok), default=0)
 
     while confirm is not None and best >= 1:
@@ -78,12 +91,28 @@ def find_max_mbs_pow2(
 
     # whether a candidate was rejected by the static table or refuted by the
     # standalone runtime confirm, the production fused step is a DIFFERENT
-    # program with better buffer reuse -- ground-truth it directly
+    # program with better buffer reuse -- ground-truth it directly. Only
+    # candidates within the measured over-prediction band are worth an OOM
+    # worker; skip the rest on the static evidence alone.
     while upgrade is not None and best >= 1 and best * 2 <= limit:
-        if not upgrade(best * 2):
+        cand = best * 2
+        if cand not in ratios:
+            # the table stopped at its first rejection; candidates past it
+            # need their own static check (an AOT compile is ~5x cheaper
+            # than letting a doomed probe worker OOM)
+            _, ratios[cand] = harness.fit_check(cand, hbm_budget_bytes=hbm_budget_bytes)
+            harness.release_probe()
+        ratio = ratios[cand]
+        if ratio is not None and ratio > UPGRADE_RATIO_BAND:
+            logger.info(
+                f"mbs={cand}: static prediction {ratio:.2f}x budget exceeds the "
+                f"{UPGRADE_RATIO_BAND}x buffer-reuse band; skipping the fused ground-truth probe"
+            )
             break
-        logger.info(f"mbs={best * 2} rejected by the split-program probes but the production step runs it; upgrading")
-        best *= 2
+        if not upgrade(cand):
+            break
+        logger.info(f"mbs={cand} rejected by the split-program probes but the production step runs it; upgrading")
+        best = cand
     return best
 
 

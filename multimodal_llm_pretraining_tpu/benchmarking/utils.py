@@ -100,6 +100,11 @@ class BenchmarkHarness:
         return floor
 
     def fits(self, micro_batch_size: int, hbm_budget_bytes: int | None = None, safety: float = 0.94) -> bool:
+        return self.fit_check(micro_batch_size, hbm_budget_bytes, safety)[0]
+
+    def fit_check(
+        self, micro_batch_size: int, hbm_budget_bytes: int | None = None, safety: float = 0.94
+    ) -> tuple[bool, float | None]:
         """Static fit check: AOT-compile the accumulate step for this mbs.
 
         Three gates, none of which executes anything:
@@ -110,7 +115,13 @@ class BenchmarkHarness:
         1. XLA's own compile-time HBM verification (raises on oversize);
         2. memory_analysis + persistent state (optimizer buffers) against
            ``safety *`` the HBM budget -- covers what gate 1 cannot see.
-        """
+
+        Returns ``(fits, predicted/budget ratio)``: the ratio quantifies HOW
+        FAR over budget a rejected candidate is (``inf`` for the no-analysis
+        rejections -- state floor and compile-time OOM -- which buffer reuse
+        can never rescue; ``None`` when no memory analysis is available),
+        so the search can decide whether a fused ground-truth probe is worth
+        an OOM worker (``max_batch_size.UPGRADE_RATIO_BAND``)."""
         if hbm_budget_bytes is None:
             from ..tpus import device_hbm_bytes
 
@@ -121,13 +132,13 @@ class BenchmarkHarness:
                 f"mbs={micro_batch_size}: analytic state floor {floor / 2**30:.2f} GiB "
                 f"exceeds budget {hbm_budget_bytes * safety / 2**30:.2f} GiB (no compile needed)"
             )
-            return False
+            return False, float("inf")
         try:
             compiled = self._compile_acc(micro_batch_size)
         except Exception as e:
             if is_oom_error(e):
                 logger.info(f"mbs={micro_batch_size}: compile-time OOM")
-                return False
+                return False, float("inf")
             raise
         usage = self.predicted_bytes(compiled)
         if usage is not None:
@@ -136,9 +147,8 @@ class BenchmarkHarness:
             logger.info(
                 f"mbs={micro_batch_size}: predicted {required / 2**30:.2f} GiB (program {usage / 2**30:.2f} + state) vs budget {budget / 2**30:.2f} GiB"
             )
-            if required > budget:
-                return False
-        return True
+            return required <= budget, required / budget
+        return True, None
 
     @staticmethod
     def predicted_bytes(compiled) -> int | None:

@@ -264,6 +264,40 @@ def test_max_mbs_upgrade_past_static_rejection():
     assert best == 0 and upgrades == []
 
 
+class _RatioHarness:
+    """Static-check stub: fit_check answers from a fixed mbs->ratio map."""
+
+    def __init__(self, ratios):
+        self.ratios = ratios
+        self.lazy_checks = []
+
+    def fit_check(self, mbs, hbm_budget_bytes=None, safety=0.94):
+        self.lazy_checks.append(mbs)
+        r = self.ratios[mbs]
+        return (r is not None and r <= 1.0), r
+
+    def release_probe(self, micro_batch_size=None):
+        pass
+
+
+def test_max_mbs_upgrade_skips_statically_hopeless_candidates():
+    """A statically rejected candidate is only worth an OOM probe while its
+    predicted/budget ratio stays inside the buffer-reuse band; past it the
+    probe is skipped on static evidence (round-4: convnext arms each wasted
+    ~4.5 min on upgrade probes at 1.49x budget that could never fit)."""
+    probed = []
+    h = _RatioHarness({1: 0.5, 2: 0.9, 4: 1.2, 8: 2.0})
+    best = find_max_mbs_pow2(
+        h, limit=16, confirm=lambda m: True,
+        upgrade=lambda m: probed.append(m) is None,
+    )
+    # 4 (1.2x, within the 1.30x band) is probed and upgrades; 8 (2.0x) is
+    # skipped without a worker -- its ratio came from a lazy static check
+    assert best == 4
+    assert probed == [4]
+    assert 8 in h.lazy_checks
+
+
 def test_max_mbs_upgrade_doubles_while_production_step_survives():
     """Candidates refuted by the split-program probes (statically or at
     runtime) are re-tried with the production fused step, doubling while it
