@@ -80,19 +80,25 @@ def _arm_floor_gib(cfg) -> float | None:
             os.environ["MLPT_FAKE_HOST_OFFLOAD"] = prior
 
 
-def _grid_sweep(num_hosts: int, chips_per_host: int, tpu_type: str, model: str):
-    """The full ``--methods all`` grid (+ the naive arm) for one family --
-    the exact space ``scripts/benchmark.py`` enumerates, so exporters can
-    tell 'ran' from 'lost' arm by arm."""
+def _grid_experiments(num_hosts: int, chips_per_host: int, tpu_type: str, model: str) -> list:
+    """Every valid experiment ``scripts/benchmark.py`` enumerates for one
+    family: the naive arm (free_lunch=False, all else default) plus the
+    ``--methods all`` grid (free_lunch=True x methods) -- EXACTLY that
+    union, so exporters can tell 'ran' from 'lost' arm by arm without
+    flagging naive-x-sharding combos the CLI never runs."""
     from multimodal_llm_pretraining_tpu.experiments.sweeps import TrainingTimeEmpiricalSweep
 
-    return TrainingTimeEmpiricalSweep(
+    base = dict(
+        num_hosts=[num_hosts],
+        chips_per_host=[chips_per_host],
+        tpu_type=[tpu_type],
+        model=[model],
+    )
+    naive = TrainingTimeEmpiricalSweep(search_space=dict(base, free_lunch=[False]))
+    full = TrainingTimeEmpiricalSweep(
         search_space=dict(
-            num_hosts=[num_hosts],
-            chips_per_host=[chips_per_host],
-            tpu_type=[tpu_type],
-            model=[model],
-            free_lunch=[False, True],
+            base,
+            free_lunch=[True],
             activation_checkpointing=[False, True],
             checkpoint_policy=["flash", "dots"],
             sharding=["", "zero_1", "zero_2", "zero_3", "fsdp_shard_grad_op", "fsdp_full_shard"],
@@ -101,6 +107,7 @@ def _grid_sweep(num_hosts: int, chips_per_host: int, tpu_type: str, model: str):
             unroll_layers=[False, True],
         )
     )
+    return naive.experiments() + full.experiments()
 
 
 def unresolved_arms(num_hosts: int, chips_per_host: int, tpu_type: str, model: str) -> list:
@@ -109,8 +116,7 @@ def unresolved_arms(num_hosts: int, chips_per_host: int, tpu_type: str, model: s
     Exporters must surface these, never silently shrink the grid (round-4
     verdict weak #2: 3 of llava-finetune's 18 arms vanished from the CSV,
     including the only one that fits)."""
-    sweep = _grid_sweep(num_hosts, chips_per_host, tpu_type, model)
-    return [exp for exp in sweep.experiments() if not exp.is_cached()]
+    return [exp for exp in _grid_experiments(num_hosts, chips_per_host, tpu_type, model) if not exp.is_cached()]
 
 
 def load_status_grid(num_hosts: int, chips_per_host: int, tpu_type: str, model: str) -> pd.DataFrame:
@@ -121,10 +127,9 @@ def load_status_grid(num_hosts: int, chips_per_host: int, tpu_type: str, model: 
     outcome + the analytic state floor."""
     from multimodal_llm_pretraining_tpu.tpus import device_hbm_bytes
 
-    sweep = _grid_sweep(num_hosts, chips_per_host, tpu_type, model)
     budget_gib = device_hbm_bytes(tpu_type) * 0.94 / 2**30  # utils.fits margin
     rows = []
-    for exp in sweep.experiments():
+    for exp in _grid_experiments(num_hosts, chips_per_host, tpu_type, model):
         cfg = exp.config
         row = {k: v for k, v in cfg.__dict__.items() if k not in ("num_hosts", "chips_per_host", "tpu_type", "model", "trial", "benchmarking_steps")}
         row["method"] = method_label(pd.Series(cfg.__dict__))
