@@ -450,16 +450,21 @@ def _vmem_cap() -> int:
 # MLPT_FLASH_FUSED_BWD=0 opts out.
 PREFER_FUSED_BWD = os.environ.get("MLPT_FLASH_FUSED_BWD", "1") != "0"
 
-# A/B-only experiment gates (default OFF so the shipped program stays
-# byte-identical to the committed measurements):
-#   MLPT_FLASH_DP_EARLY=1     issue the dp matmul before the exp chain in the
-#                             fused backward (MXU/VPU overlap experiment)
-#   MLPT_FLASH_BWD_BLOCK_Q=N  inner q-slice length of the fused backward's
-#                             loop, decoupled from the forward's block_q
+# dp-early scheduling in the fused backward: issue the dp matmul (MXU)
+# before the exp chain (VPU) so the two units overlap instead of
+# serializing s -> exp -> dv -> dp. Measured 2026-08-19 (quiet v5e, B4 H8
+# S2048 D256): standalone fused fwd+bwd 6.31 -> 5.64 ms (-10.6%); in the
+# production pythia-1b step (mbs4 acc4, dots remat, bf16_sr) 1.663 ->
+# 1.631 s (-1.9%, MFU 0.6261 -> 0.6385) -- wins BOTH rankings, so default
+# ON (artifacts/flash_kernel_ab_v5e.json). MLPT_FLASH_DP_EARLY=0 opts out.
+#   MLPT_FLASH_BWD_BLOCK_Q=N  A/B-only: inner q-slice length of the fused
+#                             backward's loop, decoupled from the forward's
+#                             block_q (bq256 won standalone but lost to
+#                             dp_early in-step; combination adds nothing)
 # Both env gates are read at TRACE time (every _bwd_impl call), so in-process
 # A/B runs that set them after import take effect; the module global is the
 # programmatic override the sweep script flips directly.
-DP_EARLY = os.environ.get("MLPT_FLASH_DP_EARLY", "0") == "1"
+DP_EARLY = os.environ.get("MLPT_FLASH_DP_EARLY", "1") != "0"
 
 
 def _fused_bwd_est(q_pad, head_dim, block_q, block_k) -> int:
@@ -501,7 +506,8 @@ def _bwd_impl(causal, sm_scale, block_q, block_k, q, k, v, out, lse, g, kv_lens=
 
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # [BH, Sq]
 
-    dp_early = DP_EARLY or os.environ.get("MLPT_FLASH_DP_EARLY", "0") == "1"
+    _dp_env = os.environ.get("MLPT_FLASH_DP_EARLY")
+    dp_early = (_dp_env != "0") if _dp_env is not None else DP_EARLY
     fused_plan = _fused_bwd_plan(q_seq, head_dim, block_q, block_k) if PREFER_FUSED_BWD else None
     env_bwd_bq = os.environ.get("MLPT_FLASH_BWD_BLOCK_Q")
     if fused_plan is not None and env_bwd_bq:

@@ -37,7 +37,9 @@ def time_fn(fn, args, iters, reps=3):
         def body(carry, _):
             out = fn(*carry)
             # fold a dependency back into q so the loop can't collapse
-            q = carry[0] + 0.0 * out[..., :1, :1].sum().astype(carry[0].dtype)
+            # (out is a tuple of grads when fn is jax.grad over argnums)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            q = carry[0] + 0.0 * leaf[..., :1, :1].sum().astype(carry[0].dtype)
             return (q,) + carry[1:], None
 
         carry, _ = jax.lax.scan(body, args, None, length=iters)
