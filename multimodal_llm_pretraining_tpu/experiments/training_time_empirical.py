@@ -94,7 +94,7 @@ def find_largest_batch_size(config: TrainingConfig, limit: int, fused_ground_tru
     return distribute(func=search, workers_per_host=config.chips_per_host)
 
 
-@step(cacheable=True, version="005")
+@step(cacheable=True, version="006")
 def benchmark_step_time(
     config: TrainingConfig,
     max_micro_batch_size: int,
@@ -164,22 +164,46 @@ def benchmark_step_time(
             # optimizer phase as the intercept.
             fused_time = None
             if not config.offloading:
-                fused_acc = target_micro_batch_size // fused_mbs
-                probe_acc = _fused_probe_acc(fused_acc, fused_mbs)
-                try:
-                    fused = _run_worker(
-                        {
-                            "op": "time_fused",
-                            "config": asdict(config),
-                            "micro_batch_size": fused_mbs,
-                            "accumulation_steps": probe_acc,
-                            "samples": 3,
-                            "plan_overrides": plan_overrides,
-                        }
-                    )
-                except InfrastructureError as e:
-                    logger.info(f"fused-step probe hit backend faults; keeping split protocol ({e})")
-                    fused = {}
+                # The fit table and split probes model the standalone
+                # accumulate program; the production fused step is a
+                # different program whose peak can land on EITHER side (XLA
+                # buffer reuse usually shrinks it, but conv/NHWC workloads
+                # stack an [acc, ...] batch and im2col workspace the split
+                # program never holds -- round-4 convnext arms OOMed the
+                # fused probe at the split-approved micro-batch and silently
+                # fell back to split timings diverging up to 2.1x). An OOMed
+                # fused probe now halves the FUSED micro-batch and re-probes:
+                # the arm's production recipe is whatever the fused step
+                # actually runs.
+                fused = {}
+                while fused_mbs >= 1:
+                    fused_acc = target_micro_batch_size // fused_mbs
+                    probe_acc = _fused_probe_acc(fused_acc, fused_mbs)
+                    try:
+                        fused = _run_worker(
+                            {
+                                "op": "time_fused",
+                                "config": asdict(config),
+                                "micro_batch_size": fused_mbs,
+                                "accumulation_steps": probe_acc,
+                                "samples": 3,
+                                "plan_overrides": plan_overrides,
+                            }
+                        )
+                    except InfrastructureError as e:
+                        logger.info(f"fused-step probe hit backend faults; keeping split protocol ({e})")
+                        fused = {}
+                        break
+                    if fused.get("oom"):
+                        logger.info(
+                            f"fused-step probe OOMed at mbs={fused_mbs} (the static table models the "
+                            "standalone program, which under-predicts fused conv/NHWC peaks); halving "
+                            "the fused micro-batch"
+                        )
+                        fused_mbs //= 2
+                        fused = {}
+                        continue
+                    break
                 if fused.get("ok"):
                     t_probe = fused["step_time_fused"]
                     optim = min(result["optimizer_s"], 0.5 * t_probe)

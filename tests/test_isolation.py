@@ -441,6 +441,36 @@ def test_step_time_keeps_split_when_fused_unmeasurable():
     assert np.isclose(res["step_time"], 0.5 * 4 + 0.1)
 
 
+def test_step_time_fused_probe_ooms_halve_the_fused_mbs():
+    """The static fit table models the STANDALONE accumulate program; the
+    production fused step stacks an [acc, ...] batch plus conv workspace the
+    split program never holds, and for conv/NHWC workloads its peak EXCEEDS
+    the split-approved micro-batch (round-4: convnext confirm_fused workers
+    died {'oom': True} at the table-approved mbs and the grid silently kept
+    split timings diverging up to 2.1x). An OOMed fused probe must halve the
+    FUSED micro-batch and re-probe -- the arm's reported mbs is what the
+    production step actually runs."""
+    fused_attempts = []
+
+    def fake_worker(spec):
+        if spec["op"] == "time_fused":
+            fused_attempts.append(spec["micro_batch_size"])
+            if spec["micro_batch_size"] > 2:
+                return {"oom": True}
+            return {"ok": True, "step_time_fused": 1.2}
+        return {"ok": True, "accumulate_s": 0.5, "optimizer_s": 0.1, "micro_batch_size": spec["micro_batch_size"]}
+
+    res = _timing_fn(_cfg(), max_micro_batch_size=8, target_micro_batch_size=8,
+                     num_benchmarking_steps=1, _run_worker=fake_worker)
+    assert fused_attempts == [8, 4, 2]
+    # the arm reports the fused program's real micro-batch, not the split one
+    assert res["micro_batch_size"] == 2
+    assert res["micro_batch_size_split"] == 8
+    assert res["step_time_fused"] is not None
+    # fused acc at mbs 2 = 4, probe acc = 4: no extrapolation, 1.2 s verbatim
+    assert np.isclose(res["step_time"], 1.2)
+
+
 def test_step_time_falls_back_on_lowering_failure():
     """A Pallas/Mosaic lowering failure under free-lunch retries exactly once
     on plain XLA kernels (the reference's compile-timeout fallback analog)."""
