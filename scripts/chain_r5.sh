@@ -13,7 +13,13 @@ cd "$(dirname "$0")/.."
 export MLPT_WORKSPACE_DIR="$PWD/.cache/workspace"
 
 tpu_healthy() {
-  timeout 90 python -c "import jax; jax.devices()" >/dev/null 2>&1
+  # devices() can enumerate while EXECUTION hangs (observed 2026-08-19:
+  # trivial matmuls time out at 3 min while jax.devices() answers in 5 s),
+  # so health requires an actual program to run end to end.
+  timeout 120 python -c "
+import jax, jax.numpy as jnp
+assert float(jnp.ones((8, 128)).sum()) == 8 * 128
+" >/dev/null 2>&1
 }
 
 wait_for_tpu() {
