@@ -216,7 +216,7 @@ def classify_worker_failure(output: str) -> dict | None:
 
 def run_probe_worker(
     spec: dict,
-    timeout: float = 3600.0,
+    timeout: float | None = None,
     env_overrides: dict | None = None,
     infra_retries: int = 2,
 ) -> dict:
@@ -227,7 +227,16 @@ def run_probe_worker(
     up to ``infra_retries`` times on transient backend faults (then raises
     ``InfrastructureError``), and raises RuntimeError on unclassifiable
     failures.
+
+    ``timeout=None`` picks a spec-aware default: offload arms compile ~13
+    grouped host-update programs (legitimately 30+ min on the remote
+    compiler) and keep the 1 h deadline; everything else compiles a handful
+    of programs and gets 30 min -- a worker hung on a tunnel stall (observed
+    2026-08-19: dispatches that never return) then costs minutes of sweep
+    time, not an hour.
     """
+    if timeout is None:
+        timeout = 3600.0 if spec.get("config", {}).get("offloading") else 1800.0
     _install_sigterm_cleanup()
     last_infra = ""
     for attempt in range(infra_retries + 1):
