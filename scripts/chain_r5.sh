@@ -54,15 +54,20 @@ EOF
   return 1
 }
 
+# Order front-loads the round-4 verdict's top_next (llava-finetune's
+# unresolved fitting arm) and the families that were never attempted, so a
+# tunnel outage truncates the LOWEST-priority tail. Timeouts trimmed to keep
+# the chain visiting every family inside one round; attempt-2 + the step
+# cache make partial stages resumable.
 for spec in \
-  "roberta 14400" \
-  "vit 12600" \
-  "convnext-large-1k 10800" \
-  "convnext-large-22k 10800" \
-  "convnext-xlarge-22k 12600" \
-  "vilt-original-pretrain 7200" \
-  "llava-finetune 7200" \
-  "pythia-2.8b 18000" \
+  "roberta 10800" \
+  "llava-finetune 5400" \
+  "vilt-original-pretrain 5400" \
+  "vit 9000" \
+  "convnext-large-1k 7200" \
+  "convnext-large-22k 7200" \
+  "convnext-xlarge-22k 7200" \
+  "pythia-2.8b 10800" \
   ; do
   set -- $spec
   model=$1; tmo=$2
