@@ -41,7 +41,29 @@ GRID_MODELS = [
     "vilt-pretrain",
     "vilt-original-pretrain",
 ]
-ANALYTIC_MODELS = ["pythia-160m", "pythia-410m", "pythia-1b"]
+# The pythia calibration trio also gets method charts; analytic-vs-empirical
+# JSONs are emitted for EVERY family with a closed-form FLOPs model and at
+# least one measured arm (round-4 verdict item 7). Mamba's FLOPs come from
+# XLA cost analysis only and its grid is all-infeasible, so it has no
+# analytic artifact.
+CHART_MODELS = ["pythia-160m", "pythia-410m", "pythia-1b"]
+
+
+def _has_measured_rows(csv_path: str) -> bool:
+    import pandas as pd
+
+    try:
+        df = pd.read_csv(csv_path)
+    except FileNotFoundError:
+        return False
+    return "training_days" in df.columns and df["training_days"].notna().any()
+
+
+def _has_flops_model(model: str) -> bool:
+    from multimodal_llm_pretraining_tpu.benchmarking.flops import analytic_flops_per_example
+    from multimodal_llm_pretraining_tpu.models import get_model_class
+
+    return analytic_flops_per_example(get_model_class(model)) is not None
 
 
 def refresh(models: list[str], tpu_type: str, num_hosts: int, chips_per_host: int) -> int:
@@ -55,11 +77,19 @@ def refresh(models: list[str], tpu_type: str, num_hosts: int, chips_per_host: in
             training_time_table(num_hosts, chips_per_host, tpu_type, model, csv_path)
         except Exception as e:  # noqa: BLE001 - report-and-continue CLI
             failures.append(f"{model} search csv: {e}")
-    for model in [m for m in models if m in ANALYTIC_MODELS]:
+    for model in [m for m in models if m in CHART_MODELS]:
         try:
             mem_saving_chart(num_hosts, chips_per_host, tpu_type, model, os.path.join(ARTIFACTS, f"{model}_{tpu_type}_methods.png"))
         except Exception as e:  # noqa: BLE001
             failures.append(f"{model} methods png: {e}")
+    for model in models:
+        csv_path = os.path.join(ARTIFACTS, f"{model}_{tpu_type}_search.csv")
+        if not _has_flops_model(model):
+            print(f"(skip analytic json for {model}: no closed-form FLOPs model)")
+            continue
+        if not _has_measured_rows(csv_path):
+            print(f"(skip analytic json for {model}: no measured arms in {csv_path})")
+            continue
         # analytic_vs_empirical owns its own CLI surface; reuse it unchanged
         # (direct-path invocation, no package-relative imports involved)
         cmd = [
@@ -70,7 +100,7 @@ def refresh(models: list[str], tpu_type: str, num_hosts: int, chips_per_host: in
             "--tpu-type",
             tpu_type,
             "--from-csv",
-            os.path.join(ARTIFACTS, f"{model}_{tpu_type}_search.csv"),
+            csv_path,
             "--write-json",
             os.path.join(ARTIFACTS, f"analytic_vs_empirical_{model}_{tpu_type}.json"),
         ]

