@@ -108,9 +108,54 @@ def refresh(models: list[str], tpu_type: str, num_hosts: int, chips_per_host: in
         sys.stdout.write(proc.stdout)
         if proc.returncode != 0:
             failures.append(f"{model} analytic json: rc={proc.returncode}\n{proc.stderr[-2000:]}")
+    try:
+        optimal_configs_table(tpu_type, num_hosts * chips_per_host)
+    except Exception as e:  # noqa: BLE001
+        failures.append(f"optimal configs table: {e}")
     for f in failures:
         print(f"FAILED: {f}", file=sys.stderr)
     return 1 if failures else 0
+
+
+def optimal_configs_table(tpu_type: str, num_chips: int, out_path: str | None = None) -> None:
+    """One committed row per family: the fastest measured arm of its grid
+    (the reference's per-model optimal-config product,
+    ``/root/reference/scripts/print_optimal_config.py:26-46``), derived from
+    the committed search CSVs so the table is reproducible from the repo
+    alone. Families whose grids hold no measured arm appear with
+    status=infeasible so absence is never silent."""
+    import pandas as pd
+
+    from multimodal_llm_pretraining_tpu.models import get_model_class
+
+    rows = []
+    for model in GRID_MODELS:
+        csv_path = os.path.join(ARTIFACTS, f"{model}_{tpu_type}_search.csv")
+        if not os.path.exists(csv_path):
+            continue
+        df = pd.read_csv(csv_path)
+        measured = df[df["training_days"].notna()] if "training_days" in df.columns else df.iloc[:0]
+        mc = get_model_class(model)
+        if measured.empty:
+            rows.append({"model": model, "status": "infeasible", "arms_in_grid": len(df)})
+            continue
+        best = measured.sort_values("training_days").iloc[0]
+        mbs = int(best["micro_batch_size"])
+        rows.append(
+            {
+                "model": model,
+                "status": "measured",
+                "arms_in_grid": len(df),
+                "method": best["method"],
+                "micro_batch_size": mbs,
+                "gradient_accumulation_steps": mc.batch_size // (mbs * num_chips),
+                "step_time_s": round(float(best["step_time"]), 3),
+                "training_days": round(float(best["training_days"]), 2),
+            }
+        )
+    out = out_path or os.path.join(ARTIFACTS, f"optimal_configs_{tpu_type}.csv")
+    pd.DataFrame(rows).to_csv(out, index=False)
+    print(f"wrote {out} ({len(rows)} families)")
 
 
 def main() -> int:

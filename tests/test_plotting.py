@@ -152,6 +152,28 @@ def test_analytic_artifacts_beyond_pythia():
     # contract for whatever grids have landed
 
 
+def test_optimal_configs_table(tmp_path):
+    """The per-family optimal-row product (reference
+    scripts/print_optimal_config.py analog): every committed grid yields a
+    row, infeasible families appear explicitly (never silently absent), and
+    measured rows carry a derivable grad-accumulation count."""
+    import os
+
+    import pandas as pd
+
+    from scripts.refresh_artifacts import GRID_MODELS, optimal_configs_table
+
+    out = tmp_path / "optimal.csv"
+    optimal_configs_table("v5e", 1, str(out))
+    df = pd.read_csv(out)
+    assert set(df["status"]) <= {"measured", "infeasible"}
+    committed = [m for m in GRID_MODELS if os.path.exists(os.path.join(os.path.dirname(__file__), "..", "artifacts", f"{m}_v5e_search.csv"))]
+    assert sorted(df["model"]) == sorted(committed)
+    measured = df[df["status"] == "measured"]
+    assert (measured["training_days"] > 0).all()
+    assert (measured["gradient_accumulation_steps"] >= 1).all()
+
+
 def test_survey_pipeline(tmp_path):
     """Survey preprocessing + plots on a synthetic raw export (the reference
     ships the notebook but not the data, so synthetic is the only testable
